@@ -1,0 +1,257 @@
+"""Deterministic extraction rules — the single source of truth.
+
+These pure-pandas/pure-Python functions replace the reference's LLM prompt
+programs (prompt contracts at
+``/root/reference/graphiti_core/prompts/extract_nodes.py:25-38,90-115`` and
+``/root/reference/graphiti_core/prompts/extract_edges.py:25-38,91-124``).
+They are imported BOTH by the Spark pandas UDFs
+(:mod:`graphiti_spark.operators.extract`) and by the pure-pandas reference
+oracle used in the P/R gate tests — so the gate measures the *pipeline*
+(joins, dedup, versioning), not extractor drift (SURVEY.md §7 risk 6).
+
+Rule summary (mirroring the reference prompt contracts):
+  * the speaker (text before the first ``:``) is always extracted first
+    (``prompts/extract_nodes.py:96``);
+  * entities are capitalized spans / known-template slots, pronoun-free;
+  * predicates are SCREAMING_SNAKE_CASE (``prompts/extract_edges.py:20-38``);
+  * present-tense facts get ``valid_at = episode ts``; "founded ... in YYYY"
+    resolves to Jan 1 of that year (date rules
+    ``prompts/extract_edges.py:117-124``); "no longer ..." emits a negation
+    row carrying ``invalid_at = ts`` (``prompts/extract_edge_dates.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from datetime import datetime, timezone
+
+# ---------------------------------------------------------------------------
+# Predicate semantics (drives temporal versioning, SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+#: Functional predicates: a subject holds at most one object at a time.
+#: A newer fact with the same (subj, pred) supersedes the older one
+#: (deterministic stand-in for the reference's resolve_edge contradiction
+#: prompt, ``prompts/invalidate_edges.py`` / ``edge_operations.py:345-375``).
+FUNCTIONAL_PREDS = frozenset({"WORKS_AT", "LIVES_IN", "CEO_OF"})
+
+#: Sentiment predicates contradict each other per (subj, obj) pair
+#: (the reference temporal suite's "Alice likes Bob" vs "Alice dislikes Bob",
+#: ``tests/utils/maintenance/test_temporal_operations_int.py:96-264``).
+SENTIMENT_PREDS = frozenset({"LIKES", "DISLIKES"})
+
+# Entity type ids (reference: user-supplied ontology; we fix a small one).
+TYPE_SPEAKER = "Speaker"
+TYPE_PERSON = "Person"
+TYPE_ORG = "Organization"
+TYPE_PLACE = "Place"
+TYPE_ENTITY = "Entity"
+
+# A capitalized span: one or more Capitalized words (allows '&', digits).
+_NAME = r"[A-Z][\w&.\-]*(?:\s+[A-Z][\w&.\-]*)*"
+
+# Sentence-level fact templates. Each maps to (pred, subj_type, obj_type).
+# Order matters: negations before their positive counterparts.
+_PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
+    (re.compile(rf"^(?P<a>{_NAME}) no longer works at (?P<b>{_NAME})$"),
+     "WORKS_AT", "neg", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) works at (?P<b>{_NAME})$"),
+     "WORKS_AT", "pos", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) likes (?P<b>{_NAME})$"),
+     "LIKES", "pos", TYPE_PERSON, TYPE_ENTITY),
+    (re.compile(rf"^(?P<a>{_NAME}) dislikes (?P<b>{_NAME})$"),
+     "DISLIKES", "pos", TYPE_PERSON, TYPE_ENTITY),
+    (re.compile(rf"^(?P<a>{_NAME}) is friends with (?P<b>{_NAME})$"),
+     "FRIENDS_WITH", "pos", TYPE_PERSON, TYPE_PERSON),
+    (re.compile(rf"^(?P<a>{_NAME}) founded (?P<b>{_NAME}) in (?P<y>\d{{4}})$"),
+     "FOUNDED", "year", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) no longer lives in (?P<b>{_NAME})$"),
+     "LIVES_IN", "neg", TYPE_PERSON, TYPE_PLACE),
+    (re.compile(rf"^(?P<a>{_NAME}) lives in (?P<b>{_NAME})$"),
+     "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
+    (re.compile(rf"^(?P<a>{_NAME}) moved to (?P<b>{_NAME})$"),
+     "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
+    (re.compile(rf"^(?P<a>{_NAME}) is the CEO of (?P<b>{_NAME})$"),
+     "CEO_OF", "pos", TYPE_PERSON, TYPE_ORG),
+]
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_WS = re.compile(r"\s+")
+_CTRL = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")  # _clean_input, llm_client/client.py:68-88
+
+
+def clean_text(text: str) -> str:
+    """Strip control chars + collapse whitespace (reference ``_clean_input``)."""
+    return _WS.sub(" ", _CTRL.sub("", text or "")).strip()
+
+
+def normalize_name(name: str) -> str:
+    """Canonical comparison form of an entity name (lowercase, 1-space)."""
+    return _WS.sub(" ", (name or "").strip().lower())
+
+
+def name_tokens(name: str) -> list[str]:
+    """Word tokens of a name, mirroring ``set(name.lower().split())``
+    (``bulk_utils.py:229-231``)."""
+    return [t for t in normalize_name(name).split(" ") if t]
+
+
+def split_speaker(content: str) -> tuple[str, str]:
+    """Split episode content ``'role: text'`` into (speaker, body).
+
+    Mirrors the message-format contract ``prompts/extract_nodes.py:96``:
+    the part before the first ``:`` is the speaker.
+    """
+    content = content or ""
+    if ":" in content:
+        speaker, body = content.split(":", 1)
+        return speaker.strip(), body.strip()
+    return "", content.strip()
+
+
+def sentences(body: str) -> list[str]:
+    out = []
+    for s in _SENT_SPLIT.split(body or ""):
+        s = s.strip().rstrip(".!?").strip()
+        if s:
+            out.append(s)
+    return out
+
+
+_GENERIC_SPEAKERS = frozenset({"user", "assistant", "tool", "system"})
+
+
+def extract_mentions(content: str) -> list[dict]:
+    """content -> ordered distinct mentions [{name, entity_type_id}].
+
+    Deterministic stand-in for ``extract_nodes``
+    (``node_operations.py:69-175``): speaker first, then fact-slot
+    entities in textual order; empty names filtered; pronouns never
+    matched (templates only match capitalized spans).
+    """
+    speaker, body = split_speaker(content)
+    seen: dict[str, dict] = {}
+
+    def add(name: str, type_id: str) -> None:
+        name = clean_text(name)
+        if not name:
+            return
+        key = normalize_name(name)
+        if key not in seen:
+            seen[key] = {"name": name, "entity_type_id": type_id}
+
+    if speaker and speaker.lower() not in _GENERIC_SPEAKERS:
+        add(speaker, TYPE_SPEAKER)
+    for sent in sentences(body):
+        for pat, _pred, _mode, t_a, t_b in _PATTERNS:
+            m = pat.match(sent)
+            if m:
+                add(m.group("a"), t_a)
+                add(m.group("b"), t_b)
+                break
+    return list(seen.values())
+
+
+def extract_triples(content: str, ts: datetime | None) -> list[dict]:
+    """content + episode ts -> fact triples.
+
+    Deterministic stand-in for ``extract_edges``
+    (``edge_operations.py:110-244``). Returns dicts with keys
+    ``subj, pred, obj, fact, valid_at, invalid_at`` (datetimes tz-aware UTC
+    or None). Negation sentences emit a row with ``invalid_at = ts`` and
+    ``valid_at = None`` — consumed by temporal versioning (T1/T2).
+    Self-pairs are skipped (``edge_operations.py:73-74``).
+    """
+    _speaker, body = split_speaker(content)
+    out: list[dict] = []
+    for sent in sentences(body):
+        for pat, pred, mode, _t_a, _t_b in _PATTERNS:
+            m = pat.match(sent)
+            if not m:
+                continue
+            subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
+            if not subj or not obj or normalize_name(subj) == normalize_name(obj):
+                break
+            valid_at: datetime | None = None
+            invalid_at: datetime | None = None
+            if mode == "pos":
+                valid_at = ts
+            elif mode == "neg":
+                invalid_at = ts
+            elif mode == "year":
+                valid_at = datetime(int(m.group("y")), 1, 1, tzinfo=timezone.utc)
+            out.append({
+                "subj": subj, "pred": pred, "obj": obj,
+                "fact": sent, "valid_at": valid_at, "invalid_at": invalid_at,
+            })
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic ids (reference uses uuid4, ``nodes.py:81-86``; we need ids
+# that are pure functions of content so outputs are identical across
+# partitionings and cluster sizes — SURVEY.md §7 risk 1).
+# ---------------------------------------------------------------------------
+
+def stable_id(*parts: str) -> str:
+    """sha1-based 32-hex id, pure function of its inputs."""
+    h = hashlib.sha1("\x1f".join(parts).encode("utf-8")).hexdigest()
+    return h[:32]
+
+
+def entity_uuid(group_id: str, name: str) -> str:
+    return stable_id("entity", group_id, normalize_name(name))
+
+
+def episode_uuid(group_id: str, turn_idx: int) -> str:
+    return stable_id("episode", group_id, str(turn_idx))
+
+
+def edge_uuid(group_id: str, src: str, pred: str, dst: str, fact: str,
+              turn_idx: int) -> str:
+    return stable_id("edge", group_id, src, pred, dst, normalize_name(fact),
+                     str(turn_idx))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate decision rules (deterministic stand-in for the LLM dedup calls,
+# preserving the bulk-path threshold structure ``bulk_utils.py:208,227-241``)
+# ---------------------------------------------------------------------------
+
+NODE_COSINE_THRESHOLD = 0.8   # bulk_utils.py:208
+EDGE_COSINE_THRESHOLD = 0.6   # bulk_utils.py:297
+
+
+def node_is_duplicate(name_a: str, name_b: str, cosine: float) -> bool:
+    """Nodes are duplicates iff normalized-equal, token-subset (alias like
+    'Bob' ⊂ 'Bob Smith'), or embedding-cosine ≥ 0.8.
+
+    The reference generates candidates by word-overlap OR cosine≥0.8
+    (``bulk_utils.py:227-241``) then asks an LLM; our deterministic
+    judgment tightens word-overlap to subset so 'Alice Smith' and
+    'Bob Smith' (shared surname) do NOT merge.
+    """
+    na, nb = normalize_name(name_a), normalize_name(name_b)
+    if na == nb:
+        return True
+    ta, tb = set(name_tokens(name_a)), set(name_tokens(name_b))
+    if ta and tb and (ta <= tb or tb <= ta):
+        return True
+    return cosine >= NODE_COSINE_THRESHOLD
+
+
+def edge_is_duplicate(fact_a: str, fact_b: str, cosine: float) -> bool:
+    """Edges with identical endpoints are duplicates iff normalized facts
+    are equal, fact token sets overlap ≥ 0.9 Jaccard, or cosine ≥ 0.6
+    (pair guard applied by the caller — ``bulk_utils.py:318-321``)."""
+    fa, fb = normalize_name(fact_a), normalize_name(fact_b)
+    if fa == fb:
+        return True
+    ta, tb = set(fa.split()), set(fb.split())
+    if ta and tb:
+        j = len(ta & tb) / len(ta | tb)
+        if j >= 0.9:
+            return True
+    return cosine >= EDGE_COSINE_THRESHOLD
