@@ -278,10 +278,12 @@ def ensure_corpus(sf: float, root: str | None = None, seed: int = SEED) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     tr, gt, gc, ge = generate(sf, seed)
-    tr.to_parquet(os.path.join(out, "transcripts.parquet"), index=False)
-    gt.to_parquet(os.path.join(out, "golden_triples.parquet"), index=False)
+    # micro-second timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    tr.to_parquet(os.path.join(out, "transcripts.parquet"), **kw)
+    gt.to_parquet(os.path.join(out, "golden_triples.parquet"), **kw)
     gc.to_parquet(os.path.join(out, "golden_components.parquet"), index=False)
-    ge.to_parquet(os.path.join(out, "golden_edges.parquet"), index=False)
+    ge.to_parquet(os.path.join(out, "golden_edges.parquet"), **kw)
     with open(marker, "w") as f:
         f.write(f"sf={sf} seed={seed}\n")
     return out

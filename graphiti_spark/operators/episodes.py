@@ -1,0 +1,75 @@
+"""M1 — episode assembly (SURVEY.md §2.1 S1-S3).
+
+transcripts(conv_id, turn_idx, role, text, tool, ts) → episodes DataFrame.
+
+Reference semantics reproduced:
+  * content = ``role || ': ' || text`` — the message episode format
+    (``prompts/extract_nodes.py:96``; eval harness
+    ``tests/evals/eval_e2e_graph_building.py:53``). This is the per-row
+    invariant: per-turn text equality under stable (conv_id, turn_idx) order.
+  * previous-episode context = prior ``EPISODE_WINDOW_LEN = 3`` turns
+    (``utils/maintenance/graph_data_operations.py:28,84-135``) via a bounded
+    window — no unbounded state, so it streams/scales trivially.
+  * ``valid_at`` = turn ts (document time), ``created_at`` = fixed run_ts
+    (ingestion time) — the bi-temporal split (``nodes.py:151-153``).
+
+Everything is JVM-side column expressions (whole-stage codegen; no Python).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPISODE_WINDOW_LEN = 3  # graph_data_operations.py:28
+
+SEP = "\x1f"
+
+
+def stable_id_cols(*cols):
+    """JVM-side equivalent of rules.stable_id: sha1 of 0x1f-joined parts,
+    first 32 hex chars. Keeps id generation in codegen (no UDF)."""
+    return F.substring(F.sha1(F.concat_ws(SEP, *cols)), 1, 32)
+
+
+def assemble_episodes(transcripts: DataFrame, run_ts: datetime) -> DataFrame:
+    """Window over (conv_id, turn_idx) → one episode row per turn."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    content = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    return (
+        transcripts
+        .withColumn("content", content)
+        .withColumn("prev_context",
+                    F.collect_list("content")
+                     .over(w.rowsBetween(-EPISODE_WINDOW_LEN, -1)))
+        .select(
+            stable_id_cols(F.lit("episode"), F.col("conv_id"),
+                           F.col("turn_idx").cast("string")).alias("uuid"),
+            F.concat_ws("-", F.col("conv_id"),
+                        F.col("turn_idx").cast("string")).alias("name"),
+            F.col("conv_id").alias("group_id"),
+            F.lit("message").alias("source"),
+            F.coalesce(F.col("tool"), F.lit("")).alias("source_description"),
+            F.col("content"),
+            F.col("ts").alias("valid_at"),
+            F.lit(run_ts).cast("timestamp").alias("created_at"),
+            F.col("turn_idx"),
+            F.col("prev_context"),
+        )
+    )
+
+
+def retrieve_episodes(episodes: DataFrame, reference_time, last_n: int = 10,
+                      group_ids: list[str] | None = None) -> DataFrame:
+    """S3 — last-n episodes with valid_at <= reference_time per group,
+    returned chronologically (``graph_data_operations.py:84-135``)."""
+    df = episodes.where(F.col("valid_at") <= F.lit(reference_time))
+    if group_ids:
+        df = df.where(F.col("group_id").isin(group_ids))
+    w = Window.partitionBy("group_id").orderBy(F.col("valid_at").desc(),
+                                               F.col("turn_idx").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= last_n).drop("_rn")
+              .orderBy("group_id", "valid_at", "turn_idx"))

@@ -1,0 +1,145 @@
+"""End-to-end KG-construction pipeline (the Spark analogue of
+``Graphiti.add_episode_bulk``, ``/root/reference/graphiti_core/graphiti.py:
+554-831`` — SURVEY.md §3.2).
+
+Stages (each a resumable checkpoint; `group_id` keys every shuffle):
+
+  1. episodes   — window assembly over (conv_id, turn_idx)        [M1]
+  2. mentions   — vectorized mention extraction + explode          [M2/E1]
+  3. edges_raw  — vectorized triple extraction + explode           [M2/E3]
+  4. entities   — blocking + CC canonicalization (+ uuid_map)      [M3/J1/A1]
+  5. edges      — endpoint remap, dedup, temporal versioning       [M4/J8/J2/T1-T2]
+  6. episodic_edges / duplicate_edges / summaries                  [S4/E4]
+
+On a real cluster the same code runs via ``spark-submit --py-files`` with
+the transcripts read from an Iceberg table partitioned by bucket(conv_id);
+here the IO layer degrades to parquet (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators import dedup, episodes as ep, extract, versioning
+from graphiti_spark.operators.episodes import stable_id_cols
+from graphiti_spark.sources.tables import TableStore
+
+RUN_TS = datetime(2025, 1, 1, tzinfo=timezone.utc)  # fixed for determinism
+SUMMARY_MAX_WORDS = 250   # node_operations.py:295-381 (≤250-word summary)
+
+
+@dataclass
+class GraphTables:
+    episodes: DataFrame
+    entities: DataFrame
+    edges: DataFrame
+    episodic_edges: DataFrame
+    uuid_map: DataFrame
+
+
+def _fingerprint(**kwargs) -> str:
+    return json.dumps(kwargs, sort_keys=True, default=str)
+
+
+def build_graph(spark: SparkSession, transcripts: DataFrame,
+                store: TableStore | None = None,
+                run_ts: datetime = RUN_TS,
+                fingerprint_extra: str = "") -> GraphTables:
+    """Run the full pipeline. With a `store`, every stage is materialized
+    and resumable; without, the DAG stays lazy (single Catalyst plan)."""
+    fp = _fingerprint(v=1, run_ts=run_ts, extra=fingerprint_extra)
+
+    def stage(name: str, build, partition_by=None) -> DataFrame:
+        if store is None:
+            return build()
+        return store.stage(name, fp, build, partition_by)
+
+    episodes = stage("episodes",
+                     lambda: ep.assemble_episodes(transcripts, run_ts))
+    mentions = stage("mentions", lambda: extract.extract_mentions(episodes))
+    edges_raw = stage("edges_raw", lambda: extract.extract_edges(episodes, run_ts))
+
+    def build_entities():
+        raw = extract.raw_entities(mentions, run_ts)
+        canonical, uuid_map = dedup.canonicalize_entities(raw, run_ts)
+        # stash uuid_map inside the same stage dir for resume atomicity
+        return canonical.join(
+            uuid_map.groupBy("canonical_uuid")
+                    .agg(F.array_sort(F.collect_list("uuid")).alias("member_uuids")),
+            canonical.uuid == F.col("canonical_uuid"), "left"
+        ).drop("canonical_uuid")
+
+    entities = stage("entities", build_entities)
+    uuid_map = (entities
+                .select(F.col("uuid").alias("canonical_uuid"),
+                        F.explode("member_uuids").alias("uuid"))
+                .select("uuid", "canonical_uuid"))
+
+    def build_edges():
+        remapped = dedup.resolve_edge_pointers(edges_raw, uuid_map)
+        deduped = versioning.dedupe_edges(remapped)
+        versioned = versioning.apply_versioning(deduped, run_ts)
+        return (versioned
+                .withColumn("fact_embedding", extract.embed_udf(F.col("fact")))
+                .withColumn("attributes",
+                            F.create_map().cast("map<string,string>")))
+
+    edges = stage("edges", build_edges)
+
+    def build_episodic_edges():
+        # MENTIONS edges episode→canonical entity (edges.py:79), distinct.
+        return (mentions
+                .join(uuid_map, mentions.entity_uuid == uuid_map.uuid, "left")
+                .select(mentions.group_id, "episode_uuid",
+                        F.coalesce("canonical_uuid", "entity_uuid")
+                         .alias("entity_canonical"))
+                .distinct()
+                .select(
+                    stable_id_cols(F.lit("mention"), F.col("group_id"),
+                                   F.col("episode_uuid"),
+                                   F.col("entity_canonical")).alias("uuid"),
+                    "group_id",
+                    F.col("episode_uuid").alias("source_node_uuid"),
+                    F.col("entity_canonical").alias("target_node_uuid"),
+                    F.lit(run_ts).cast("timestamp").alias("created_at")))
+
+    episodic_edges = stage("episodic_edges", build_episodic_edges)
+
+    def build_summaries():
+        # E4 deterministic stand-in: summary = chronological concat of the
+        # entity's supporting facts, truncated to 250 words.
+        facts = (edges.select(F.col("source_node_uuid").alias("uuid"),
+                              "fact", "valid_at", "created_at")
+                 .unionByName(edges.select(
+                     F.col("target_node_uuid").alias("uuid"),
+                     "fact", "valid_at", "created_at")))
+        per_entity = (facts
+                      .groupBy("uuid")
+                      .agg(F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct(F.coalesce("valid_at", "created_at")
+                                            .alias("t"), F.col("fact").alias("f")))),
+                              lambda s: s["f"]), ". ").alias("_summary")))
+        words = F.split(F.col("_summary"), " ")
+        trunc = F.when(F.size(words) > SUMMARY_MAX_WORDS,
+                       F.array_join(F.slice(words, 1, SUMMARY_MAX_WORDS), " ")
+                       ).otherwise(F.col("_summary"))
+        return (entities.join(per_entity, "uuid", "left")
+                .withColumn("summary", F.coalesce(trunc, F.lit("")))
+                .withColumn("attributes",
+                            F.create_map().cast("map<string,string>"))
+                .drop("_summary"))
+
+    entities_final = stage("entities_final", build_summaries)
+
+    if store is not None:
+        store.flush_lineage()
+    return GraphTables(episodes=episodes, entities=entities_final,
+                       edges=edges, episodic_edges=episodic_edges,
+                       uuid_map=uuid_map)
