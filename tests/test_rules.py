@@ -1,0 +1,82 @@
+"""Unit tests for the deterministic extraction rules (pure Python, no Spark).
+
+Mirrors the reference prompt contracts: speaker-first extraction
+(``prompts/extract_nodes.py:96``), SCREAMING_SNAKE_CASE predicates,
+date-resolution rules (``prompts/extract_edges.py:117-124``), and the
+bulk-path duplicate thresholds (``bulk_utils.py:208,227-241,297``).
+"""
+
+from datetime import datetime, timezone
+
+from graphiti_spark import rules
+
+TS = datetime(2024, 3, 1, 12, 0, tzinfo=timezone.utc)
+
+
+def test_split_speaker():
+    assert rules.split_speaker("Alice: hi there") == ("Alice", "hi there")
+    assert rules.split_speaker("no colon here") == ("", "no colon here")
+
+
+def test_mentions_speaker_first_and_generic_skipped():
+    m = rules.extract_mentions("Alice: Bob Smith works at Acme Corp.")
+    names = [x["name"] for x in m]
+    assert names[0] == "Alice"           # speaker extracted first
+    assert "Bob Smith" in names and "Acme Corp" in names
+    m2 = rules.extract_mentions("user: Bob Smith works at Acme Corp.")
+    assert [x["name"] for x in m2] == ["Bob Smith", "Acme Corp"]
+
+
+def test_mentions_dedup_and_types():
+    m = rules.extract_mentions("Alice: Alice lives in Paris.")
+    # speaker Alice and fact-subject Alice dedup to one mention
+    assert [x["name"] for x in m] == ["Alice", "Paris"]
+    by = {x["name"]: x["entity_type_id"] for x in m}
+    assert by["Paris"] == rules.TYPE_PLACE
+
+
+def test_triples_present_tense_valid_at():
+    t = rules.extract_triples("user: Alice works at Acme Corp.", TS)
+    assert len(t) == 1
+    r = t[0]
+    assert (r["subj"], r["pred"], r["obj"]) == ("Alice", "WORKS_AT", "Acme Corp")
+    assert r["valid_at"] == TS and r["invalid_at"] is None
+
+
+def test_triples_negation_and_year():
+    neg = rules.extract_triples("user: Alice no longer works at Acme Corp.", TS)[0]
+    assert neg["invalid_at"] == TS and neg["valid_at"] is None
+    yr = rules.extract_triples("user: Bob founded Globex in 1999.", TS)[0]
+    assert yr["valid_at"] == datetime(1999, 1, 1, tzinfo=timezone.utc)
+    assert yr["pred"] == "FOUNDED"
+
+
+def test_triples_self_pair_skipped():
+    # edge_operations.py:73-74 — self pairs dropped
+    assert rules.extract_triples("user: Alice likes Alice.", TS) == []
+
+
+def test_triples_multi_sentence():
+    t = rules.extract_triples(
+        "user: Alice works at Acme Corp. Alice lives in Paris.", TS)
+    assert [(r["pred"]) for r in t] == ["WORKS_AT", "LIVES_IN"]
+
+
+def test_node_duplicate_rules():
+    assert rules.node_is_duplicate("Bob", "Bob Smith", 0.0)     # alias subset
+    assert rules.node_is_duplicate("bob  smith", "Bob Smith", 0.0)
+    assert not rules.node_is_duplicate("Alice Smith", "Bob Smith", 0.0)
+    assert rules.node_is_duplicate("X", "Y", 0.85)              # cosine branch
+    assert not rules.node_is_duplicate("X", "Y", 0.79)
+
+
+def test_edge_duplicate_rules():
+    assert rules.edge_is_duplicate("a likes b", "A likes  B", 0.0)
+    assert rules.edge_is_duplicate("x", "y", 0.65)
+    assert not rules.edge_is_duplicate("x", "y", 0.55)
+
+
+def test_stable_ids_deterministic():
+    assert rules.entity_uuid("g", "Alice") == rules.entity_uuid("g", "alice ")
+    assert rules.entity_uuid("g1", "Alice") != rules.entity_uuid("g2", "Alice")
+    assert len(rules.stable_id("a", "b")) == 32
