@@ -1,0 +1,810 @@
+"""Named queries for the driver contract (``__spark_entry__.py``).
+
+Each entry maps a SURVEY.md §2 operator (or a training-data-pipeline op) to
+(a) an idiomatic Spark DataFrame implementation and (b) an equivalent ANSI
+SQL oracle DuckDB can run on the same parquet tables. Conventions keeping
+the value-hash compare exact across engines:
+
+  * aggregates over floating columns go through DECIMAL (exact) and are cast
+    to double afterwards, or use integer-quantized math (e.g. the dot
+    product in :func:`q_embedding_knn` quantizes to round(x*1000) so every
+    partial sum is an integer-valued double — order-independent and
+    bit-identical in any engine);
+  * rank/size columns are cast to the same width on both sides;
+  * every computed column is aliased identically in both implementations.
+
+The kg_* queries intentionally route through the real extraction pandas
+UDFs (the reference's LLM stand-ins) over transcripts derived
+deterministically from the TPC-H-ish tables, with a regex/join SQL oracle —
+so the driver's gate covers the UDF path, not just relational plans.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+RUN_TS = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Episode / window operators (S1/S3/W1/W6 — SURVEY §2.1, §2.5)
+# ---------------------------------------------------------------------------
+
+def q_episode_assembly(spark, sf_dir):
+    """S1/M1: window over (conv, turn) → content + previous-3 context.
+    Events stand in for transcript turns (conv = user_id)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    content = F.concat_ws(": ", "event_type", "props")
+    df = ev.withColumn("content", content)
+    return df.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("turn_seq"),
+        "content",
+        F.concat_ws(" | ", F.lag("content", 3).over(w),
+                    F.lag("content", 2).over(w),
+                    F.lag("content", 1).over(w)).alias("prev_ctx"),
+    )
+
+
+SQL_EPISODE_ASSEMBLY = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         concat_ws(': ', event_type, props) AS content
+  FROM events
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS INTEGER) AS turn_seq,
+       content,
+       concat_ws(' | ', lag(content, 3) OVER w, lag(content, 2) OVER w,
+                 lag(content, 1) OVER w) AS prev_ctx
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_episode_retrieval(spark, sf_dir):
+    """S3/W1: last-5 rows per group with ts <= reference_time, chronological
+    (graph_data_operations.py:84-135 semantics)."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (ev.where(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= 5)
+            .select("user_id", "event_id", "ts", "event_type", "rn"))
+
+
+SQL_EPISODE_RETRIEVAL = """
+SELECT user_id, event_id, ts, event_type, rn
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC)
+              AS INTEGER) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+) WHERE rn <= 5
+"""
+
+
+def q_window_versioning(spark, sf_dir):
+    """W6/T1: temporal edge versioning as window dedup — per key ordered by
+    event time, invalid_at = lead(valid_at) (edge_operations.py:345-375
+    re-expressed; the engine's versioning core on neutral data)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").alias("valid_at"),
+        F.lead("ts").over(w).alias("invalid_at"),
+    )
+
+
+SQL_WINDOW_VERSIONING = """
+SELECT user_id, event_type, event_id, ts AS valid_at,
+       lead(ts) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS invalid_at
+FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Streaming-style sessionization (gap > 30 min ⇒ new session): the
+    batch equivalent of a session window over the events stream."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1)).otherwise(F.lit(0))
+    df = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("bigint"))
+    return (df.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("t_start"), F.max("ts").alias("t_end")))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join operators (J6/J7/J8/J9 — SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_anti_join_orphans(spark, sf_dir):
+    """J6/S9 anti-join: customers with no orders (orphan GC shape)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+SQL_ANTI_JOIN_ORPHANS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join_mentions(spark, sf_dir):
+    """J7 semi-join: orders having at least one returned lineitem."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (o.join(li.where(F.col("l_returnflag") == "R")
+                    .select(F.col("l_orderkey").alias("o_orderkey")),
+                   "o_orderkey", "left_semi")
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+
+
+SQL_SEMI_JOIN_MENTIONS = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+"""
+
+
+def q_canonical_remap(spark, sf_dir):
+    """J8 resolve_edge_pointers shape (bulk_utils.py:420-427): remap keys
+    through a canonical map (min custkey per nation) with join + coalesce."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cmap = (c.groupBy("c_nationkey")
+            .agg(F.min("c_custkey").alias("canonical_custkey")))
+    mapping = (c.join(F.broadcast(cmap), "c_nationkey")
+               .select(F.col("c_custkey").alias("o_custkey"),
+                       "canonical_custkey"))
+    return (o.join(F.broadcast(mapping), "o_custkey", "left")
+            .select("o_orderkey",
+                    F.coalesce("canonical_custkey", "o_custkey")
+                     .alias("resolved_custkey")))
+
+
+SQL_CANONICAL_REMAP = """
+WITH cmap AS (
+  SELECT c_nationkey, min(c_custkey) AS canonical_custkey
+  FROM customer GROUP BY c_nationkey
+), m AS (
+  SELECT c.c_custkey AS o_custkey, cmap.canonical_custkey
+  FROM customer c JOIN cmap ON c.c_nationkey = cmap.c_nationkey
+)
+SELECT o.o_orderkey,
+       coalesce(m.canonical_custkey, o.o_custkey) AS resolved_custkey
+FROM orders o LEFT JOIN m ON o.o_custkey = m.o_custkey
+"""
+
+
+def q_bfs_2hop(spark, sf_dir):
+    """J9 BFS: parts within 2 hops of part 1 in the co-order graph
+    (iterative frontier self-join, depth bounded like MAX_SEARCH_DEPTH)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    origin = F.lit(1)
+    h1 = (li.where(F.col("l_partkey") == origin).select("l_orderkey")
+          .join(li, "l_orderkey")
+          .where(F.col("l_partkey") != origin)
+          .select("l_partkey").distinct())
+    frontier = h1.select(F.col("l_partkey").alias("p"))
+    h2 = (li.join(frontier, li.l_partkey == frontier.p)
+          .select("l_orderkey").distinct()
+          .join(li, "l_orderkey")
+          .where(F.col("l_partkey") != origin)
+          .select("l_partkey").distinct()
+          .join(h1, "l_partkey", "left_anti"))
+    return (h1.select("l_partkey", F.lit(1).cast("int").alias("hops"))
+            .unionByName(h2.select("l_partkey",
+                                   F.lit(2).cast("int").alias("hops"))))
+
+
+SQL_BFS_2HOP = """
+WITH h1 AS (
+  SELECT DISTINCT l2.l_partkey
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey = 1 AND l2.l_partkey <> 1
+), h2 AS (
+  SELECT DISTINCT l2.l_partkey
+  FROM h1
+  JOIN lineitem l1 ON l1.l_partkey = h1.l_partkey
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l2.l_partkey <> 1
+    AND l2.l_partkey NOT IN (SELECT l_partkey FROM h1)
+)
+SELECT l_partkey, CAST(1 AS INTEGER) AS hops FROM h1
+UNION ALL
+SELECT l_partkey, CAST(2 AS INTEGER) AS hops FROM h2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / ranking / set ops (A2/A3/W2/W3/W7/U1 — SURVEY §2.4-2.6)
+# ---------------------------------------------------------------------------
+
+def q_rrf_fusion(spark, sf_dir):
+    """A2 reciprocal rank fusion (search_utils.py:875-890): fuse two ranked
+    lists of orders; score = Σ 1/(60+rank); top 20."""
+    o = load(spark, sf_dir, "orders")
+    wa = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wb = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey"))
+    ranked = o.select(
+        "o_orderkey",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"))
+    return (ranked
+            .select("o_orderkey",
+                    (F.lit(1.0) / (F.lit(60) + F.col("ra"))
+                     + F.lit(1.0) / (F.lit(60) + F.col("rb"))).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col("o_orderkey"))
+            .limit(20))
+
+
+SQL_RRF_FUSION = """
+WITH ranked AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS ra,
+         row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey) AS rb
+  FROM orders
+)
+SELECT o_orderkey, 1.0 / (60 + ra) + 1.0 / (60 + rb) AS rrf_score
+FROM ranked ORDER BY rrf_score DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_top_k_per_group(spark, sf_dir):
+    """W3 per-probe top-k: top-3 orders per customer by price."""
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+    return (o.withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn"))
+
+
+SQL_TOP_K_PER_GROUP = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_cursor_pagination(spark, sf_dir):
+    """W7/S7 uuid-cursor pagination: key < cursor, desc, limit."""
+    o = load(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderkey") < 500)
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+SQL_CURSOR_PAGINATION = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey < 500 ORDER BY o_orderkey DESC LIMIT 10
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """U1 multi-method result union deduped by key."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 150000).select("o_orderkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"])
+
+
+SQL_UNION_DEDUP = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+UNION
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped aggregation with map-side partial aggregation;
+    DECIMAL-exact sums cast to double (order-independent)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("count_order"),
+                 F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"))
+            )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_mention_count(spark, sf_dir):
+    """A3/A6 mention counting: events per (user, type) — the
+    episode_mentions reranker aggregation shape."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n_mentions"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+SQL_MENTION_COUNT = """
+SELECT user_id, event_type, count(*) AS n_mentions,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_TOKS = "split(lower(trim(text)), '\\\\s+')"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content-prefix hash (first 10 tokens): canonical =
+    min doc_id per hash; hash-groupBy, the exact-dedup primitive."""
+    d = load(spark, sf_dir, "documents")
+    sig = F.md5(F.concat_ws(" ", F.slice(F.expr(_TOKS), 1, 10)))
+    return (d.withColumn("sig", sig)
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("n_members"))
+            .where(F.col("n_members") > 1))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:10],
+           ' ')) AS sig,
+       min(doc_id) AS canonical_doc_id, count(*) AS n_members
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """N-gram (token-set) Jaccard near-dup pairs ≥ 0.5 over a sampled
+    slice: token equi-join blocking → shared-count agg → exact Jaccard.
+    (The same blocking-join shape as J1 candidate generation.)"""
+    d = (load(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 5 == 0)
+         .select("doc_id", F.array_distinct(F.expr(_TOKS)).alias("toks")))
+    d = d.withColumn("n_toks", F.size("toks").cast("bigint"))
+    ex = d.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"),
+                  "tok")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"),
+                  "tok")
+    pairs = (a.join(b, "tok").where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count("*").alias("shared")))
+    jac = (F.col("shared").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"))
+    return (pairs.withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+SQL_DEDUP_JACCARD = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), ex AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, unnest(toks) AS tok
+  FROM d
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_toks AS na, b.n_toks AS nb, count(*) AS shared
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 8 md5-minhashes → 2 bands of 4 →
+    band-key equi-join (shingle→minhash→band→bucket-join). Engine-portable
+    because the hash is md5 of 'seed:token' (identical in any engine)."""
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.array_distinct(F.expr(_TOKS)).alias("toks")))
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    sigs = (tok.crossJoin(F.broadcast(seeds))
+            .select("doc_id", "seed",
+                    F.md5(F.concat_ws(":", F.col("seed"), F.col("tok")))
+                     .alias("h"))
+            .groupBy("doc_id", "seed").agg(F.min("h").alias("mh")))
+    per_doc = (sigs.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("seed", "mh")))
+                     .alias("sig")))
+    band = lambda i, j: F.md5(F.concat_ws(
+        "", *[F.col("sig")[k]["mh"] for k in range(i, j)]))
+    keyed = (per_doc
+             .select("doc_id",
+                     F.explode(F.array(
+                         F.concat(F.lit("b0:"), band(0, 4)),
+                         F.concat(F.lit("b1:"), band(4, 8)))).alias("bk")))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "bk")
+    return (a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+SQL_DEDUP_MINHASH = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+           AS tok
+  FROM documents
+), sigs AS (
+  SELECT doc_id, seed, min(md5(concat(seed, ':', tok))) AS mh
+  FROM tok, (SELECT unnest(range(8)) AS seed)
+  GROUP BY doc_id, seed
+), per_doc AS (
+  SELECT doc_id,
+         md5(string_agg(CASE WHEN seed < 4 THEN mh END, '' ORDER BY seed))
+           AS band0,
+         md5(string_agg(CASE WHEN seed >= 4 THEN mh END, '' ORDER BY seed))
+           AS band1
+  FROM sigs GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, 'b0:' || band0 AS bk FROM per_doc
+  UNION ALL
+  SELECT doc_id, 'b1:' || band1 AS bk FROM per_doc
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+_QVEC = ("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0)"
+         " AS BIGINT))")
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: quantized integer dot product
+    (exact in any summation order), top-5 neighbors per query vector."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("q"))
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    dot = F.expr("aggregate(zip_with(qv, q, (x, y) -> x * y),"
+                 " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score_q").desc(), F.col("neighbor_id")))
+    return (F.broadcast(queries).crossJoin(e)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    dot.alias("score_q"))
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= 5))
+
+
+SQL_EMBEDDING_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 10
+), n AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS nv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i] * nv[i])) AS BIGINT) AS score_q
+  FROM q, n WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, score_q, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, neighbor_id) AS INTEGER) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_embedding_centroid(spark, sf_dir):
+    """Per-label quantized centroid numerators (the IVF coarse-quantizer
+    training agg): element-wise integer sums via posexplode."""
+    e = load(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode(F.expr(_QVEC)))
+            .select("label", (F.col("pos") + 1).cast("int").alias("dim"),
+                    F.col("col").alias("qval"))
+            .groupBy("label", "dim")
+            .agg(F.sum("qval").alias("sum_q"),
+                 F.count("*").alias("n_vecs")))
+
+
+SQL_EMBEDDING_CENTROID = """
+SELECT label, CAST(i AS INTEGER) AS dim,
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT))
+            AS BIGINT) AS sum_q,
+       count(*) AS n_vecs
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+GROUP BY label, i
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish token counting per source: alnum runs cost ceil(len/4),
+    punctuation 1 (whitespace + regex tokenizer)."""
+    d = load(spark, sf_dir, "documents")
+    pieces = "regexp_extract_all(text, '[A-Za-z0-9]+|[^\\\\sA-Za-z0-9]', 0)"
+    per_doc = F.expr(
+        f"aggregate({pieces}, CAST(0 AS BIGINT), (acc, p) -> acc + "
+        "CASE WHEN p RLIKE '^[A-Za-z0-9]' "
+        "THEN CAST((length(p) + 3) DIV 4 AS BIGINT) ELSE CAST(1 AS BIGINT) END)")
+    return (d.withColumn("doc_tokens", per_doc)
+            .groupBy("source")
+            .agg(F.sum("doc_tokens").alias("total_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+SQL_TOKEN_COUNT = """
+WITH per_doc AS (
+  SELECT source,
+         list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]'),
+           p -> CASE WHEN regexp_matches(p, '^[A-Za-z0-9]')
+                     THEN (length(p) + 3) // 4 ELSE 1 END)) AS doc_tokens
+  FROM documents
+)
+SELECT source, CAST(sum(doc_tokens) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs
+FROM per_doc GROUP BY source
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Quality scoring via integer-exact signals: token count, distinct
+    tokens, char length — the length/stopword-ratio filter family."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    return (d.select("doc_id",
+                     F.size(toks).cast("int").alias("n_tokens"),
+                     F.size(F.array_distinct(toks)).cast("int")
+                      .alias("n_distinct"),
+                     F.length(F.trim(F.col("text"))).cast("int")
+                      .alias("n_chars"))
+            .where((F.col("n_tokens") >= 40) & (F.col("n_distinct") >= 15)))
+
+
+SQL_QUALITY_FILTER = """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER)
+         AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+         AS INTEGER) AS n_distinct,
+       CAST(length(trim(text)) AS INTEGER) AS n_chars
+FROM documents
+WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 40
+  AND len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) >= 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG extraction through the real pandas UDFs (E1/E3) with a SQL oracle
+# ---------------------------------------------------------------------------
+
+def derived_transcripts(spark, sf_dir, with_negation: bool = False):
+    """Deterministic transcripts from customer ⋈ nation: a message-format
+    conversation per customer whose sentences hit the extraction templates.
+    (Driver-data-derived; no external data.)"""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                F.col("c_custkey"),
+                F.regexp_replace("c_name", "#", "").alias("person"),
+                F.col("n_name").alias("org"),
+                F.initcap(F.lower("c_mktsegment")).alias("place")))
+    conv = F.concat(F.lit("conv"), F.col("c_custkey").cast("string"))
+    ts0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    turns = [
+        (0, "user", F.concat(F.col("person"), F.lit(" works at "),
+                             F.col("org"), F.lit("."))),
+        (1, "assistant", F.concat(F.col("person"), F.lit(" lives in "),
+                                  F.col("place"), F.lit("."))),
+    ]
+    if with_negation:
+        turns.append(
+            (2, "user", F.when(
+                F.col("c_custkey") % 2 == 0,
+                F.concat(F.col("person"), F.lit(" no longer works at "),
+                         F.col("org"), F.lit("."))).otherwise(
+                F.lit("thanks, that is all for now."))))
+    dfs = [base.select(conv.alias("conv_id"),
+                       F.lit(i).cast("int").alias("turn_idx"),
+                       F.lit(role).alias("role"), text.alias("text"),
+                       F.lit(None).cast("string").alias("tool"),
+                       (ts0 + F.expr(f"INTERVAL {i} MINUTES")).alias("ts"))
+           for i, role, text in turns]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def q_kg_extract_triples(spark, sf_dir):
+    """E3 triple extraction through the real vectorized UDF over derived
+    transcripts; oracle reconstructs the template join in SQL."""
+    from graphiti_spark.operators.episodes import assemble_episodes
+    from graphiti_spark.operators.extract import extract_edges
+    tr = derived_transcripts(spark, sf_dir)
+    eps = assemble_episodes(tr, RUN_TS)
+    raw = extract_edges(eps, RUN_TS)
+    return raw.select(F.col("group_id").alias("conv_id"),
+                      "subj", F.col("pred"), "obj")
+
+
+SQL_KG_EXTRACT_TRIPLES = """
+WITH base AS (
+  SELECT 'conv' || CAST(c_custkey AS VARCHAR) AS conv_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT conv_id, person AS subj, 'WORKS_AT' AS pred, org AS obj FROM base
+UNION ALL
+SELECT conv_id, person AS subj, 'LIVES_IN' AS pred, place AS obj FROM base
+"""
+
+
+def q_kg_mentions(spark, sf_dir):
+    """E1 mention extraction through the real vectorized UDF (speaker-first,
+    generic speakers skipped, per-episode dedup)."""
+    from graphiti_spark.operators.episodes import assemble_episodes
+    from graphiti_spark.operators.extract import extract_mentions
+    tr = derived_transcripts(spark, sf_dir)
+    eps = assemble_episodes(tr, RUN_TS)
+    m = extract_mentions(eps)
+    return m.select(F.col("group_id").alias("conv_id"), "turn_idx",
+                    "name", "entity_type_id")
+
+
+SQL_KG_MENTIONS = """
+WITH base AS (
+  SELECT 'conv' || CAST(c_custkey AS VARCHAR) AS conv_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT conv_id, 0 AS turn_idx, person AS name, 'Person' AS entity_type_id
+  FROM base
+UNION ALL
+SELECT conv_id, 0 AS turn_idx, org AS name, 'Organization' AS entity_type_id
+  FROM base
+UNION ALL
+SELECT conv_id, 1 AS turn_idx, person AS name, 'Person' AS entity_type_id
+  FROM base
+UNION ALL
+SELECT conv_id, 1 AS turn_idx, place AS name, 'Place' AS entity_type_id
+  FROM base
+"""
+
+
+def q_kg_build_edges(spark, sf_dir):
+    """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
+    dedup → temporal versioning) over derived transcripts with planted
+    contradictions. Not SQL-expressible (iterative CC) — driver records the
+    rows-only check; pytest holds the golden P/R gate."""
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir, with_negation=True)
+    tr = tr.where(F.col("conv_id").isin(
+        [f"conv{i}" for i in range(300)]))   # bound driver runtime
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    return g.edges.select("group_id", "name", "fact", "valid_at",
+                          "invalid_at", "expired_at")
+
+
+QUERIES = {
+    "episode_assembly": q_episode_assembly,
+    "episode_retrieval": q_episode_retrieval,
+    "window_versioning": q_window_versioning,
+    "sessionize": q_sessionize,
+    "anti_join_orphans": q_anti_join_orphans,
+    "semi_join_mentions": q_semi_join_mentions,
+    "canonical_remap": q_canonical_remap,
+    "bfs_2hop": q_bfs_2hop,
+    "rrf_fusion": q_rrf_fusion,
+    "top_k_per_group": q_top_k_per_group,
+    "cursor_pagination": q_cursor_pagination,
+    "union_dedup": q_union_dedup,
+    "pricing_summary": q_pricing_summary,
+    "mention_count": q_mention_count,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "embedding_knn": q_embedding_knn,
+    "embedding_centroid": q_embedding_centroid,
+    "token_count": q_token_count,
+    "quality_filter": q_quality_filter,
+    "kg_extract_triples": q_kg_extract_triples,
+    "kg_mentions": q_kg_mentions,
+    "kg_build_edges": q_kg_build_edges,
+}
+
+ORACLES = {
+    "episode_assembly": SQL_EPISODE_ASSEMBLY,
+    "episode_retrieval": SQL_EPISODE_RETRIEVAL,
+    "window_versioning": SQL_WINDOW_VERSIONING,
+    "sessionize": SQL_SESSIONIZE,
+    "anti_join_orphans": SQL_ANTI_JOIN_ORPHANS,
+    "semi_join_mentions": SQL_SEMI_JOIN_MENTIONS,
+    "canonical_remap": SQL_CANONICAL_REMAP,
+    "bfs_2hop": SQL_BFS_2HOP,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "top_k_per_group": SQL_TOP_K_PER_GROUP,
+    "cursor_pagination": SQL_CURSOR_PAGINATION,
+    "union_dedup": SQL_UNION_DEDUP,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "mention_count": SQL_MENTION_COUNT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "embedding_knn": SQL_EMBEDDING_KNN,
+    "embedding_centroid": SQL_EMBEDDING_CENTROID,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
+    "kg_mentions": SQL_KG_MENTIONS,
+    # kg_build_edges: iterative CC → no SQL oracle (rows-only check).
+}

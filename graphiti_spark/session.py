@@ -9,8 +9,32 @@ pandas UDFs, UTC session timezone for oracle comparability.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship ``graphiti_spark`` to executor Python workers via addPyFile —
+    the local-mode equivalent of ``spark-submit --py-files`` (north rule).
+
+    Needed whenever the driver process didn't start with the repo on
+    PYTHONPATH (e.g. an external harness importing ``__spark_entry__`` by
+    path): cloudpickled pandas UDFs re-import ``graphiti_spark`` inside the
+    worker, which otherwise fails with ModuleNotFoundError."""
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="graphiti_spark_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "graphiti_spark"), "zip",
+        root_dir=os.path.dirname(pkg_dir), base_dir="graphiti_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 
 def get_spark(app: str = "graphiti_spark", cores: int | None = None,
