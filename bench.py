@@ -1,0 +1,171 @@
+"""Benchmark harness (driver-run per round; also the scaling-evidence tool).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, plus the full KG
+pipeline (episode assembly → extraction UDFs → LSH+CC canonicalization →
+temporal versioning) on the seeded synthetic transcript corpus, and prints
+ONE JSON line::
+
+    {"metric": "kg_triples_per_sec", "value": N, "unit": "triples/sec",
+     "queries": {...per-query sec...}, "sf": 0.1, ...}
+
+Scaling mode (north rule: throughput at N and 4N parallelism, efficiency
+≥ 0.8, evidenced as local[8] vs local[32] in this sandbox)::
+
+    python bench.py --scaling [--pipeline-sf 1.0] [--lo 8] [--hi 32]
+
+runs the SAME pipeline job in two fresh JVMs (one per parallelism level) and
+prints rates + efficiency; results land in BENCH_SCALING.json.
+
+Every query executes through a noop sink (``format("noop")``) so Catalyst
+cannot prune the measured work the way a bare count() could.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "episode_assembly", "episode_retrieval", "window_versioning",
+    "sessionize", "anti_join_orphans", "semi_join_mentions",
+    "canonical_remap", "bfs_2hop", "rrf_fusion", "top_k_per_group",
+    "union_dedup", "pricing_summary", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash", "embedding_knn", "embedding_centroid", "token_count",
+    "quality_filter", "kg_extract_triples", "kg_mentions",
+]
+
+
+def _spark(cpus: int):
+    from graphiti_spark.session import get_spark
+    s = get_spark(app=f"bench_local{cpus}", cores=cpus,
+                  shuffle_partitions=max(cpus, 8))
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from graphiti_spark.queries import QUERIES
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop(QUERIES[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_pipeline(spark, pipeline_sf: float) -> dict:
+    """Full KG build over the seeded synthetic corpus; returns throughput."""
+    from graphiti_spark.datagen import ensure_corpus
+    from graphiti_spark.plans.pipeline import build_graph
+
+    corpus = ensure_corpus(pipeline_sf)
+    tr = spark.read.parquet(f"{corpus}/transcripts.parquet")
+    n_turns = tr.count()
+    t0 = time.time()
+    g = build_graph(spark, tr)
+    n_triples = g.edges.count()   # stages persist → one materialization
+    wall = time.time() - t0
+    return {
+        "pipeline_sf": pipeline_sf, "n_turns": n_turns,
+        "n_triples": n_triples, "pipeline_sec": round(wall, 2),
+        "triples_per_sec": round(n_triples / wall, 2),
+        "turns_per_sec": round(n_turns / wall, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true",
+                    help="internal: run only the pipeline, print JSON")
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--pipeline-sf", type=float,
+                    default=float(os.environ.get("SPARK_GRAFT_PIPELINE_SF",
+                                                 "0.1")))
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        return scaling(args)
+
+    spark = _spark(args.cpus)
+    queries = {} if args.skip_queries else run_queries(spark, args.sf_dir)
+    pipe = run_pipeline(spark, args.pipeline_sf)
+    spark.stop()
+
+    sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
+               or 0.1)
+    result = {
+        "metric": "kg_triples_per_sec",
+        "value": pipe["triples_per_sec"],
+        "unit": "triples/sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": args.cpus,
+        **pipe,
+    }
+    print(json.dumps(result))
+
+
+def scaling(args):
+    """Same job, two parallelism levels, fresh JVM each (no warm-cache
+    bleed); efficiency = (rate_hi / rate_lo) / (hi / lo)."""
+    results = {}
+    for cpus in (args.lo, args.hi):
+        cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+               "--cpus", str(cpus), "--pipeline-sf", str(args.pipeline_sf)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[args.lo], results[args.hi]
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (args.hi / args.lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(rate_{args.hi} / rate_{args.lo}) / {args.hi // args.lo}",
+        "pipeline_sf": args.pipeline_sf,
+        f"local[{args.lo}]": lo,
+        f"local[{args.hi}]": hi,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    import argparse as _a
+    ap = _a.ArgumentParser(add_help=False)
+    ap.add_argument("--pipeline-only", action="store_true")
+    known, _ = ap.parse_known_args()
+    if known.pipeline_only:
+        ap2 = _a.ArgumentParser()
+        ap2.add_argument("--pipeline-only", action="store_true")
+        ap2.add_argument("--cpus", type=int, default=32)
+        ap2.add_argument("--pipeline-sf", type=float, default=0.1)
+        a = ap2.parse_args()
+        s = _spark(a.cpus)
+        r = run_pipeline(s, a.pipeline_sf)
+        s.stop()
+        print(json.dumps({**r, "cpus": a.cpus}))
+    else:
+        main()

@@ -6,14 +6,19 @@ union-find (``/root/reference/graphiti_core/utils/bulk_utils.py:201-285,
 
   1. **Blocking** (candidate generation, J1): a token equi-join — the
      reference's word-overlap branch (``bulk_utils.py:227-234``) IS an
-     equi-join on a shared token — unioned with a SimHash-band LSH join
-     standing in for the cosine≥0.8 branch (``bulk_utils.py:236-241``).
-     Self-joins are per ``group_id`` (the reference scopes all dedup reads
-     by group, ``nodes.py:84``), so blocks never cross conversations and the
-     join co-partitions on (group_id, key).
-  2. **Verify**: exact pair check with the shared deterministic rule
-     (:func:`graphiti_spark.rules.node_is_duplicate`) in one Arrow-batched
-     pandas UDF (cheap checks + cosine in numpy).
+     equi-join on a shared token. Self-joins are per ``group_id`` (the
+     reference scopes all dedup reads by group, ``nodes.py:84``), so blocks
+     never cross conversations and the join co-partitions on
+     (group_id, token).
+  2. **Verify**: the duplicate decision entirely in whole-stage codegen.
+     The cosine≥0.8 branch (``bulk_utils.py:236-241``) is computed as
+     token-set cosine |A∩B| / √(|A|·|B|) — for our signed-feature-hash
+     embeddings (functions/text.py) this equals the embedding cosine up to
+     hash collisions (each shared distinct token contributes exactly 1 to
+     the dot product), so no Python/pandas pass and no 1024-float shuffle
+     is needed in the hot path. Blocking by shared token has full recall
+     for every branch: equal, subset, and token-cosine > 0 all require a
+     shared token.
   3. **Connected components**: iterative hash-min label propagation over
      DataFrame joins (GraphFrames-style), canonical = lexicographic-min uuid
      in the component — exactly the reference's ``compress_uuid_map``
@@ -28,64 +33,36 @@ by two-phase salted aggregation (:mod:`graphiti_spark.operators.skew`).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from graphiti_spark import rules
-from graphiti_spark.functions import text as tx
 
 MAX_BLOCK = 64          # max members of one blocking bucket considered
-SIMHASH_BANDS = 8       # 8 bands × 8 bits over the 64-bit name simhash
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def _band_keys_udf(name_norm: pd.Series) -> pd.Series:
-    """SimHash LSH band keys of the (tokenized) name — names whose
-    embeddings are cosine-close share a band with high probability."""
-    def keys(s: str) -> list[str]:
-        sh = tx.simhash64(tx.tokenize(s or ""))
-        return [f"b{b}:{(sh >> (8 * b)) & 0xFF:02x}" for b in range(SIMHASH_BANDS)]
-    return name_norm.map(keys)
-
-
-@F.pandas_udf(T.BooleanType())
-def _node_dup_udf(name_a: pd.Series, name_b: pd.Series,
-                  emb_a: pd.Series, emb_b: pd.Series) -> pd.Series:
-    ea = np.array([np.asarray(v, dtype=np.float32) for v in emb_a])
-    eb = np.array([np.asarray(v, dtype=np.float32) for v in emb_b])
-    cos = tx.cosine_batch(ea, eb) if len(ea) else np.zeros(0)
-    return pd.Series([rules.node_is_duplicate(a, b, c)
-                      for a, b, c in zip(name_a, name_b, cos)])
+def _tok(col) -> F.Column:
+    """Distinct word tokens of a normalized name (bulk_utils.py:229-231)."""
+    return F.array_distinct(F.array_remove(F.split(col, " "), ""))
 
 
 def candidate_pairs(entities: DataFrame) -> DataFrame:
-    """J1 blocking: (group_id, uuid_a, uuid_b) candidate duplicate pairs,
-    uuid_a < uuid_b, from token-block ∪ simhash-band self-joins."""
-    token_keys = F.array_distinct(F.split(F.col("name_norm"), " "))
-    keyed = (
-        entities
-        .select("group_id", "uuid", "name_norm", "name_embedding",
-                F.explode(F.concat(token_keys,
-                                   _band_keys_udf(F.col("name_norm"))))
-                 .alias("block_key"))
-    )
+    """J1 blocking: (group_id, uuid_a, uuid_b, name_a, name_b) candidate
+    duplicate pairs, uuid_a < uuid_b, from a per-group token self-join."""
+    keyed = (entities
+             .select("group_id", "uuid", "name_norm",
+                     F.explode(_tok(F.col("name_norm"))).alias("block_key")))
     # Cap pathological blocks (stop-token buckets) deterministically.
-    from pyspark.sql import Window
     w = Window.partitionBy("group_id", "block_key").orderBy("uuid")
     keyed = (keyed.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") <= MAX_BLOCK).drop("_rn"))
 
     a = keyed.select("group_id", "block_key",
                      F.col("uuid").alias("uuid_a"),
-                     F.col("name_norm").alias("name_a"),
-                     F.col("name_embedding").alias("emb_a"))
+                     F.col("name_norm").alias("name_a"))
     b = keyed.select("group_id", "block_key",
                      F.col("uuid").alias("uuid_b"),
-                     F.col("name_norm").alias("name_b"),
-                     F.col("name_embedding").alias("emb_b"))
+                     F.col("name_norm").alias("name_b"))
     return (
         a.join(b, ["group_id", "block_key"])
          .where(F.col("uuid_a") < F.col("uuid_b"))
@@ -94,11 +71,24 @@ def candidate_pairs(entities: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_decision(name_a, name_b) -> F.Column:
+    """The deterministic duplicate rule as a boolean Column — the JVM twin
+    of :func:`graphiti_spark.rules.node_is_duplicate`: normalized-equal,
+    token-subset (alias 'bob' ⊂ 'bob smith'), or token-cosine ≥ 0.8."""
+    ta, tb = _tok(name_a), _tok(name_b)
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    cos = inter / F.sqrt(F.size(ta).cast("double") * F.size(tb).cast("double"))
+    subset = (F.size(F.array_except(ta, tb)) == 0) | \
+             (F.size(F.array_except(tb, ta)) == 0)
+    return ((name_a == name_b) | subset
+            | (cos >= F.lit(rules.NODE_COSINE_THRESHOLD)))
+
+
 def duplicate_pairs(entities: DataFrame) -> DataFrame:
-    """Blocking + exact verify → confirmed duplicate pairs."""
+    """Blocking + verify → confirmed duplicate pairs (whole-stage codegen,
+    no Python in the path)."""
     cand = candidate_pairs(entities)
-    return (cand.where(_node_dup_udf(F.col("name_a"), F.col("name_b"),
-                                     F.col("emb_a"), F.col("emb_b")))
+    return (cand.where(duplicate_decision(F.col("name_a"), F.col("name_b")))
                 .select("group_id", "uuid_a", "uuid_b"))
 
 
@@ -140,7 +130,8 @@ def canonicalize_entities(entities: DataFrame, run_ts) -> tuple[DataFrame, DataF
     uuid_map: (uuid, canonical_uuid) for every raw entity. Canonical row
     keeps the canonical member's surface form; labels = distinct union
     (reference keeps resolved node's fields, ``node_operations.py:258-284``).
-    """
+    Embeddings are NOT computed here — the pipeline embeds canonical names
+    once, downstream, so the CC/merge shuffles stay narrow."""
     pairs = duplicate_pairs(entities)
     cc = connected_components(entities.select("uuid"), pairs)
     uuid_map = cc.select("uuid", F.col("component").alias("canonical_uuid"))
@@ -149,6 +140,7 @@ def canonicalize_entities(entities: DataFrame, run_ts) -> tuple[DataFrame, DataF
         entities.join(uuid_map, "uuid")
         .groupBy("group_id", "canonical_uuid")
         .agg(
+            # min by uuid (unique) — trailing fields ride along.
             F.min(F.struct("uuid", "name", "name_norm")).alias("canon"),
             F.array_distinct(F.flatten(F.collect_list("labels"))).alias("labels"),
             F.min("created_at").alias("created_at"),
@@ -162,8 +154,6 @@ def canonicalize_entities(entities: DataFrame, run_ts) -> tuple[DataFrame, DataF
             "first_turn",
         )
     )
-    from graphiti_spark.operators.extract import embed_udf
-    merged = merged.withColumn("name_embedding", embed_udf(F.col("name_norm")))
     return merged, uuid_map
 
 

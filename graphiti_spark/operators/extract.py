@@ -113,7 +113,8 @@ def raw_entities(mentions: DataFrame, run_ts: datetime) -> DataFrame:
             "name_norm",
             "first_turn",
         )
-        .withColumn("name_embedding", embed_udf(F.col("name_norm")))
+        # No embedding here: dedup verifies JVM-side (token cosine), so the
+        # pipeline embeds only canonical entities, once, at the final stage.
     )
 
 

@@ -1,0 +1,360 @@
+"""M6 — query-side search layer (SURVEY.md §2.9 Q1-Q9).
+
+The reference fans a query out to 2-3 retrieval methods per layer
+(fulltext BM25 ⫽ embedding cosine ⫽ graph BFS, ``search/search.py:66-162``)
+and fuses with a reranker. Spark-first re-expression:
+
+  * fulltext → **BM25-lite**: tokenize once into an array column, explode,
+    equi-join query tokens, tf×idf aggregation (Q1/Q4/Q5; the reference's
+    Lucene index probes become joins — SURVEY §4 "index selection").
+  * similarity → JVM-side cosine with ``zip_with``/``aggregate`` column
+    expressions (no Python in the hot path; Q2).
+  * bfs → iterative frontier self-join, depth ≤ 3 (`MAX_SEARCH_DEPTH`,
+    ``search_utils.py:61``; Q3).
+  * rerankers → rrf (``search_utils.py:875-890``), mmr
+    (``search_utils.py:968-1006``), node_distance (``:893-936``),
+    episode_mentions (``:939-965``) as window/groupBy pipelines (Q7).
+  * SearchFilters → AND-of-OR Column predicate compiler
+    (``search/search_filters.py:40-184``; Q8).
+
+Every search returns (uuid, score) plus payload columns; limits follow the
+reference's 2×limit-per-method-then-fuse shape (``search.py:183-204``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_SEARCH_DEPTH = 3          # search_utils.py:61
+DEFAULT_SEARCH_LIMIT = 10     # search_config.py:29
+DEFAULT_MIN_SCORE = 0.6       # search_utils.py:59
+MMR_LAMBDA = 0.5              # search_config.py defaults
+
+
+def tokens_col(col) -> F.Column:
+    """Fulltext tokenization as a column expression (lucene_sanitize +
+    analyzer stand-in, ``helpers.py:67-101``): lowercase alnum runs."""
+    return F.array_remove(
+        F.split(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")), " "),
+        "")
+
+
+def bm25_lite_search(df: DataFrame, text_col: str, query: str,
+                     id_col: str = "uuid", k1: float = 1.2,
+                     limit: int = 2 * DEFAULT_SEARCH_LIMIT) -> DataFrame:
+    """Q1/Q4/Q5 fulltext search: tf·idf over a token equi-join.
+
+    idf computed from the corpus itself (doc-frequency aggregation); score
+    monotone in BM25 with b=0 (no length norm — reference relies on
+    Lucene's defaults; ours stays a pure groupBy/join pipeline)."""
+    q_tokens = [t for t in
+                "".join(c.lower() if c.isalnum() else " " for c in query)
+                .split() if t]
+    if not q_tokens:
+        return df.select(F.col(id_col).alias("uuid")).limit(0) \
+                 .withColumn("score", F.lit(0.0))
+    n_docs = df.count()
+    toks = (df.select(id_col, F.explode(tokens_col(F.col(text_col)))
+                      .alias("tok")))
+    qdf = toks.sparkSession.createDataFrame(
+        [(t,) for t in set(q_tokens)], ["tok"])
+    tf = (toks.join(F.broadcast(qdf), "tok")
+          .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
+    df_freq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    scored = (tf.join(F.broadcast(df_freq), "tok")
+              .withColumn("idf", F.log(
+                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1))
+                          / (F.col("tf") + k1))
+              .groupBy(id_col).agg(F.sum("w").alias("score")))
+    return (scored.select(F.col(id_col).alias("uuid"), "score")
+            .orderBy(F.col("score").desc(), "uuid").limit(limit))
+
+
+def cosine_col(emb_col, query_vec: list[float]) -> F.Column:
+    """JVM-side cosine similarity of an array<float> column vs a literal
+    query vector — whole-stage-codegen'd, no Python (F4)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    dot = F.aggregate(
+        F.zip_with(emb_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(
+        emb_col, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when(norm > 0, dot / (norm * F.lit(qn))).otherwise(F.lit(0.0))
+
+
+def similarity_search(df: DataFrame, emb_col: str, query_vec: list[float],
+                      id_col: str = "uuid",
+                      min_score: float = DEFAULT_MIN_SCORE,
+                      limit: int = 2 * DEFAULT_SEARCH_LIMIT) -> DataFrame:
+    """Q2 cosine search with min_score filter + top-k
+    (``search_utils.py:188-249``)."""
+    return (df.withColumn("score", cosine_col(F.col(emb_col), query_vec))
+            .where(F.col("score") > min_score)
+            .select(F.col(id_col).alias("uuid"), "score")
+            .orderBy(F.col("score").desc(), "uuid").limit(limit))
+
+
+def bfs_search(edges: DataFrame, origin_uuids: list[str],
+               depth: int = MAX_SEARCH_DEPTH) -> DataFrame:
+    """Q3/J9: nodes (and the edges traversed) within `depth` hops of the
+    origins; iterative frontier join, per-level dedup (GraphFrames-style).
+    Returns (uuid, hops) over edge uuids — matching edge_bfs_search which
+    returns the edges on paths (``search_utils.py:252-296``)."""
+    spark = edges.sparkSession
+    sym = (edges.select(F.col("source_node_uuid").alias("src"),
+                        F.col("target_node_uuid").alias("dst"),
+                        F.col("uuid").alias("edge_uuid"))
+           .unionByName(edges.select(
+               F.col("target_node_uuid").alias("src"),
+               F.col("source_node_uuid").alias("dst"),
+               F.col("uuid").alias("edge_uuid"))))
+    frontier = spark.createDataFrame([(u,) for u in origin_uuids], ["node"])
+    seen_nodes = frontier
+    out = None
+    for hop in range(1, depth + 1):
+        step = (sym.join(F.broadcast(frontier),
+                         sym.src == frontier.node)
+                .select("dst", "edge_uuid")
+                .withColumn("hops", F.lit(hop)))
+        hop_edges = step.select(F.col("edge_uuid").alias("uuid"), "hops")
+        out = hop_edges if out is None else out.unionByName(hop_edges)
+        frontier = (step.select(F.col("dst").alias("node")).distinct()
+                    .join(seen_nodes, "node", "left_anti")
+                    .localCheckpoint(eager=True))
+        seen_nodes = seen_nodes.unionByName(frontier).localCheckpoint(True)
+        if frontier.limit(1).count() == 0:
+            break
+    return (out.groupBy("uuid").agg(F.min("hops").alias("hops"))
+            if out is not None else
+            spark.createDataFrame([], "uuid string, hops int"))
+
+
+# ---------------------------------------------------------------------------
+# Rerankers (Q7)
+# ---------------------------------------------------------------------------
+
+def rrf(result_lists: list[DataFrame], rank_const: int = 1,
+        min_score: float = 0.0) -> DataFrame:
+    """A2 reciprocal rank fusion (``search_utils.py:875-890``): each input
+    is a scored (uuid, score) DF; rank within each list (0-based), fuse
+    score(uuid) = Σ 1/(rank + rank_const)."""
+    fused = None
+    for i, df in enumerate(result_lists):
+        w = Window.orderBy(F.col("score").desc(), "uuid")
+        ranked = df.select(
+            "uuid", (F.row_number().over(w) - 1).alias("rank"))
+        part = ranked.select(
+            "uuid", (F.lit(1.0) / (F.col("rank") + F.lit(rank_const)))
+            .alias("part"))
+        fused = part if fused is None else fused.unionByName(part)
+    return (fused.groupBy("uuid").agg(F.sum("part").alias("score"))
+            .where(F.col("score") >= min_score)
+            .orderBy(F.col("score").desc(), "uuid"))
+
+
+def episode_mentions_reranker(episodic_edges: DataFrame,
+                              candidates: DataFrame) -> DataFrame:
+    """A3: relevance = MENTIONS count per entity
+    (``search_utils.py:939-965``)."""
+    counts = (episodic_edges.groupBy(
+        F.col("target_node_uuid").alias("uuid"))
+        .agg(F.count("*").cast("double").alias("score")))
+    return (candidates.select("uuid").join(counts, "uuid", "left")
+            .na.fill({"score": 0.0})
+            .orderBy(F.col("score").desc(), "uuid"))
+
+
+def node_distance_reranker(edges: DataFrame, candidates: DataFrame,
+                           center_uuid: str) -> DataFrame:
+    """J10: score = 1/dist with dist=1 for 1-hop neighbors of the center,
+    ∞ (score 0) otherwise; the center itself gets dist 0.1 → score 10
+    (``search_utils.py:893-936``)."""
+    neigh = (edges.where((F.col("source_node_uuid") == center_uuid)
+                         | (F.col("target_node_uuid") == center_uuid))
+             .select(F.when(F.col("source_node_uuid") == center_uuid,
+                            F.col("target_node_uuid"))
+                     .otherwise(F.col("source_node_uuid")).alias("uuid"))
+             .distinct()
+             .withColumn("score", F.lit(1.0)))
+    return (candidates.select("uuid")
+            .join(neigh, "uuid", "left")
+            .withColumn("score",
+                        F.when(F.col("uuid") == center_uuid, F.lit(10.0))
+                        .otherwise(F.coalesce("score", F.lit(0.0))))
+            .orderBy(F.col("score").desc(), "uuid"))
+
+
+def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
+               mmr_lambda: float = MMR_LAMBDA,
+               limit: int = DEFAULT_SEARCH_LIMIT) -> DataFrame:
+    """F5 maximal-marginal-relevance: greedy per-query selection
+    (``search_utils.py:968-1006``). Candidate sets are small (≤2×limit per
+    method) so the greedy loop runs in a grouped pandas UDF batch."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (candidates.select("uuid", emb_col)
+            .toPandas())   # bounded: candidates are already top-2k
+    if rows.empty:
+        return candidates.sparkSession.createDataFrame(
+            [], "uuid string, score double")
+    embs = np.array([np.asarray(v, dtype=np.float64) for v in rows[emb_col]])
+    norms = np.linalg.norm(embs, axis=1)
+    norms[norms == 0] = 1.0
+    embs = embs / norms[:, None]
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    rel = embs @ q
+    selected: list[int] = []
+    scores: dict[int, float] = {}
+    remaining = list(range(len(rows)))
+    while remaining and len(selected) < limit:
+        if selected:
+            max_sim = np.max(embs[remaining] @ embs[selected].T, axis=1)
+        else:
+            max_sim = np.zeros(len(remaining))
+        mmr = mmr_lambda * rel[remaining] + (mmr_lambda - 1) * max_sim
+        best = int(np.argmax(mmr))
+        idx = remaining.pop(best)
+        scores[idx] = float(mmr[best])
+        selected.append(idx)
+    out = pd.DataFrame({
+        "uuid": [rows.uuid[i] for i in selected],
+        "score": [scores[i] for i in selected]})
+    return candidates.sparkSession.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# SearchFilters predicate compiler (Q8)
+# ---------------------------------------------------------------------------
+
+OPS = {
+    "=": lambda c, v: c == v, "<>": lambda c, v: c != v,
+    ">": lambda c, v: c > v, "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v, "<=": lambda c, v: c <= v,
+    "is_null": lambda c, v: c.isNull(),
+    "is_not_null": lambda c, v: c.isNotNull(),
+}
+
+
+@dataclass
+class DateFilter:
+    """One comparison (``search_filters.py:34-38``)."""
+    field: str           # valid_at / invalid_at / created_at / expired_at
+    op: str              # key into OPS
+    value: datetime | None = None
+
+
+@dataclass
+class SearchFilters:
+    """AND-of-OR filter groups + label/type filters
+    (``search/search_filters.py:40-64``): outer list = OR, inner = AND."""
+    node_labels: list[str] = field(default_factory=list)
+    edge_types: list[str] = field(default_factory=list)
+    date_groups: list[list[DateFilter]] = field(default_factory=list)
+
+
+def compile_filters(f: SearchFilters, kind: str = "edge") -> F.Column:
+    """→ a single boolean Column (``search_filters.py:87-184``)."""
+    cond = F.lit(True)
+    if kind == "node" and f.node_labels:
+        lab = None
+        for l in f.node_labels:
+            c = F.array_contains(F.col("labels"), l)
+            lab = c if lab is None else (lab & c)
+        cond = cond & lab
+    if kind == "edge" and f.edge_types:
+        cond = cond & F.col("name").isin(f.edge_types)
+    if f.date_groups:
+        outer = None
+        for group in f.date_groups:
+            inner = None
+            for df_ in group:
+                c = OPS[df_.op](F.col(df_.field),
+                                F.lit(df_.value) if df_.value else None)
+                inner = c if inner is None else (inner & c)
+            outer = inner if outer is None else (outer | inner)
+        cond = cond & outer
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search (the read-path fan-out, search.py:66-162) + recipes (Q9)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SearchConfig:
+    methods: list[str] = field(default_factory=lambda: ["bm25", "cosine"])
+    reranker: str = "rrf"
+    limit: int = DEFAULT_SEARCH_LIMIT
+    min_score: float = DEFAULT_MIN_SCORE
+    bfs_depth: int = MAX_SEARCH_DEPTH
+
+
+EDGE_HYBRID_RRF = SearchConfig(["bm25", "cosine"], "rrf")
+EDGE_HYBRID_MMR = SearchConfig(["bm25", "cosine"], "mmr")
+EDGE_HYBRID_BFS_RRF = SearchConfig(["bm25", "cosine", "bfs"], "rrf")
+NODE_HYBRID_RRF = SearchConfig(["bm25", "cosine"], "rrf")
+NODE_HYBRID_MENTIONS = SearchConfig(["bm25", "cosine"], "episode_mentions")
+NODE_HYBRID_DISTANCE = SearchConfig(["bm25", "cosine"], "node_distance")
+COMBINED_HYBRID_RRF = SearchConfig(["bm25", "cosine"], "rrf")
+
+
+def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
+                  query_vec: list[float],
+                  config: SearchConfig = EDGE_HYBRID_RRF,
+                  filters: SearchFilters | None = None,
+                  kind: str = "edge",
+                  edges: DataFrame | None = None,
+                  episodic_edges: DataFrame | None = None,
+                  origin_uuids: list[str] | None = None,
+                  center_uuid: str | None = None) -> DataFrame:
+    """The per-layer search: method fan-out → fuse → rerank → limit
+    (``search/search.py:180-274`` re-expressed as DataFrame union)."""
+    if filters is not None:
+        df = df.where(compile_filters(filters, kind))
+    results = []
+    if "bm25" in config.methods:
+        results.append(bm25_lite_search(df, text_col, query,
+                                        limit=2 * config.limit))
+    if "cosine" in config.methods:
+        results.append(similarity_search(df, emb_col, query_vec,
+                                         min_score=config.min_score,
+                                         limit=2 * config.limit))
+    if "bfs" in config.methods and edges is not None and origin_uuids:
+        bfs = bfs_search(edges, origin_uuids, config.bfs_depth)
+        results.append(bfs.select(
+            "uuid", (F.lit(1.0) / F.col("hops")).alias("score")))
+    if config.reranker == "rrf":
+        fused = rrf(results)
+    elif config.reranker == "mmr":
+        union = results[0]
+        for r in results[1:]:
+            union = union.unionByName(r)
+        cands = (union.dropDuplicates(["uuid"]).select("uuid")
+                 .join(df.select("uuid", emb_col), "uuid"))
+        fused = mmr_rerank(cands, emb_col, query_vec, limit=config.limit)
+    elif config.reranker == "episode_mentions":
+        union = results[0]
+        for r in results[1:]:
+            union = union.unionByName(r)
+        fused = episode_mentions_reranker(
+            episodic_edges, union.dropDuplicates(["uuid"]))
+    elif config.reranker == "node_distance":
+        union = results[0]
+        for r in results[1:]:
+            union = union.unionByName(r)
+        fused = node_distance_reranker(
+            edges, union.dropDuplicates(["uuid"]), center_uuid)
+    else:
+        raise ValueError(f"unknown reranker {config.reranker}")
+    return fused.limit(config.limit)

@@ -54,9 +54,21 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     and resumable; without, the DAG stays lazy (single Catalyst plan)."""
     fp = _fingerprint(v=1, run_ts=run_ts, extra=fingerprint_extra)
 
+    # Partition the input by conversation BEFORE any compute: a single
+    # parquet file (or an AQE-coalesced shuffle) would otherwise serialize
+    # the pandas-UDF extraction stages. Explicit numPartitions (2-3× cores)
+    # is exempt from AQE coalescing; keying by conv_id co-partitions every
+    # downstream group_id shuffle.
+    n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
+    transcripts = transcripts.repartition(n_part, "conv_id")
+
     def stage(name: str, build, partition_by=None) -> DataFrame:
         if store is None:
-            return build()
+            # Lazy mode: persist each stage so multi-consumer stages
+            # (episodes → mentions+edges_raw, uuid_map → 3 joins) are
+            # computed once, mirroring the store-backed materialization.
+            from pyspark.storagelevel import StorageLevel
+            return build().persist(StorageLevel.MEMORY_AND_DISK)
         return store.stage(name, fp, build, partition_by)
 
     episodes = stage("episodes",
@@ -134,6 +146,8 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                 .withColumn("summary", F.coalesce(trunc, F.lit("")))
                 .withColumn("attributes",
                             F.create_map().cast("map<string,string>"))
+                .withColumn("name_embedding",
+                            extract.embed_udf(F.col("name_norm")))
                 .drop("_summary"))
 
     entities_final = stage("entities_final", build_summaries)

@@ -52,6 +52,13 @@ def get_spark(app: str = "graphiti_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-scale tuning: our hot stages are Arrow/pandas UDFs whose
+        # cost is per-ROW, not per-byte; the default 64 MB advisory size
+        # would coalesce small shuffles to 1-2 partitions and serialize
+        # the Python compute. On a real cluster with TB inputs leave the
+        # defaults — partitions are plentiful there.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from graphiti_spark import rules
 from graphiti_spark.operators import dedup
-from graphiti_spark.operators.extract import embed_udf, norm_name_col
+from graphiti_spark.operators.extract import norm_name_col
 from graphiti_spark.plans.pipeline import RUN_TS
 
 
@@ -17,8 +17,7 @@ def _entities_df(spark, names, group="g"):
              RUN_TS.replace(tzinfo=None), i) for i, n in enumerate(names)]
     df = spark.createDataFrame(
         rows, ["uuid", "name", "group_id", "labels", "created_at", "first_turn"])
-    return (df.withColumn("name_norm", norm_name_col(F.col("name")))
-              .withColumn("name_embedding", embed_udf(F.col("name_norm"))))
+    return df.withColumn("name_norm", norm_name_col(F.col("name")))
 
 
 def test_alias_pairs_found_and_distinct_people_kept(spark):

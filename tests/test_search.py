@@ -1,0 +1,133 @@
+"""M6 search-layer tests (SURVEY.md §2.9): BM25-lite ranking, cosine
+search, BFS, rerankers, filter compiler, hybrid fan-out."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions import text as tx
+from graphiti_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    rows = [
+        # uuid, src, dst, name, fact
+        ("e1", "alice", "acme", "WORKS_AT", "Alice Smith works at Acme Corp"),
+        ("e2", "bob", "globex", "WORKS_AT", "Bob Jones works at Globex"),
+        ("e3", "alice", "paris", "LIVES_IN", "Alice Smith lives in Paris"),
+        ("e4", "carol", "acme", "CEO_OF", "Carol Chen is the CEO of Acme Corp"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["uuid", "source_node_uuid", "target_node_uuid", "name", "fact"])
+    emb = F.udf(lambda s: tx.embed_text(s).tolist(), "array<float>")
+    return df.withColumn("fact_embedding", emb(F.lower("fact"))).cache()
+
+
+def test_bm25_ranks_matching_fact_first(spark, edges_df):
+    out = S.bm25_lite_search(edges_df, "fact", "alice acme").collect()
+    assert out[0]["uuid"] == "e1"            # matches both query tokens
+    uuids = [r["uuid"] for r in out]
+    assert "e2" not in uuids                 # shares no query token
+    assert all(out[i]["score"] >= out[i + 1]["score"]
+               for i in range(len(out) - 1))
+
+
+def test_bm25_empty_query(spark, edges_df):
+    assert S.bm25_lite_search(edges_df, "fact", "???").count() == 0
+
+
+def test_similarity_search_threshold_and_order(spark, edges_df):
+    qv = tx.embed_text("alice smith works at acme corp").tolist()
+    out = S.similarity_search(edges_df, "fact_embedding", qv,
+                              min_score=0.3).collect()
+    assert out and out[0]["uuid"] == "e1"
+    assert all(r["score"] > 0.3 for r in out)
+    # a high threshold filters everything except the near-exact match
+    strict = S.similarity_search(edges_df, "fact_embedding", qv,
+                                 min_score=0.95).collect()
+    assert [r["uuid"] for r in strict] == ["e1"]
+
+
+def test_bfs_search_depth_and_hops(spark, edges_df):
+    out = {r["uuid"]: r["hops"]
+           for r in S.bfs_search(edges_df, ["alice"], depth=2).collect()}
+    assert out["e1"] == 1 and out["e3"] == 1     # alice's own edges
+    assert out["e4"] == 2                         # via acme
+    assert "e2" not in out                        # disconnected component
+    d1 = {r["uuid"] for r in S.bfs_search(edges_df, ["alice"], 1).collect()}
+    assert d1 == {"e1", "e3"}
+
+
+def test_rrf_exact_scores(spark):
+    a = spark.createDataFrame([("x", 3.0), ("y", 2.0)], ["uuid", "score"])
+    b = spark.createDataFrame([("y", 9.0), ("z", 1.0)], ["uuid", "score"])
+    got = {r["uuid"]: r["score"] for r in S.rrf([a, b]).collect()}
+    # ranks are 0-based with rank_const=1: x:1/1, y:1/2+1/1, z:1/2
+    assert got == {"x": 1.0, "y": 1.5, "z": 0.5}
+
+
+def test_episode_mentions_reranker(spark):
+    epi = spark.createDataFrame(
+        [("m1", "ep1", "alice"), ("m2", "ep2", "alice"), ("m3", "ep1", "bob")],
+        ["uuid", "source_node_uuid", "target_node_uuid"])
+    cands = spark.createDataFrame([("alice",), ("bob",), ("carol",)], ["uuid"])
+    out = [(r["uuid"], r["score"])
+           for r in S.episode_mentions_reranker(epi, cands).collect()]
+    assert out == [("alice", 2.0), ("bob", 1.0), ("carol", 0.0)]
+
+
+def test_node_distance_reranker(spark, edges_df):
+    cands = spark.createDataFrame(
+        [("alice",), ("acme",), ("globex",)], ["uuid"])
+    out = {r["uuid"]: r["score"]
+           for r in S.node_distance_reranker(edges_df, cands, "alice").collect()}
+    assert out["alice"] == 10.0      # center: dist 0.1 → score 10
+    assert out["acme"] == 1.0        # 1-hop
+    assert out["globex"] == 0.0      # unreachable in 1 hop
+
+
+def test_mmr_prefers_relevant_then_diverse(spark, edges_df):
+    qv = tx.embed_text("alice smith works at acme corp").tolist()
+    out = S.mmr_rerank(edges_df.select("uuid", "fact_embedding"),
+                       "fact_embedding", qv, limit=3).collect()
+    assert out[0]["uuid"] == "e1"    # most relevant first
+    assert len(out) == 3
+
+
+def test_filter_compiler(spark):
+    t1 = datetime(2024, 1, 1)
+    rows = [("a", "WORKS_AT", datetime(2023, 6, 1), None),
+            ("b", "WORKS_AT", datetime(2024, 6, 1), None),
+            ("c", "LIVES_IN", datetime(2023, 6, 1), datetime(2024, 2, 1))]
+    df = spark.createDataFrame(
+        rows, "uuid string, name string, valid_at timestamp,"
+              " invalid_at timestamp")
+    f = S.SearchFilters(
+        edge_types=["WORKS_AT"],
+        date_groups=[[S.DateFilter("valid_at", "<", t1)],
+                     [S.DateFilter("invalid_at", "is_not_null")]])
+    got = {r["uuid"] for r in df.where(S.compile_filters(f, "edge")).collect()}
+    assert got == {"a"}   # b fails both date groups; c fails edge_types
+
+
+def test_hybrid_search_rrf_end_to_end(spark, edges_df):
+    qv = tx.embed_text("alice smith works at acme corp").tolist()
+    out = S.hybrid_search(edges_df, "fact", "fact_embedding",
+                          "Alice Acme", qv,
+                          config=S.SearchConfig(["bm25", "cosine"], "rrf",
+                                                limit=3, min_score=0.2))
+    rows = out.collect()
+    assert rows[0]["uuid"] == "e1"   # top in both methods → top fused
+    assert len(rows) <= 3
+
+
+def test_hybrid_search_with_bfs_method(spark, edges_df):
+    qv = tx.embed_text("carol ceo acme").tolist()
+    out = S.hybrid_search(
+        edges_df, "fact", "fact_embedding", "Carol CEO", qv,
+        config=S.SearchConfig(["bm25", "cosine", "bfs"], "rrf", limit=4,
+                              min_score=0.2),
+        edges=edges_df, origin_uuids=["carol"])
+    assert {r["uuid"] for r in out.collect()} >= {"e4"}
