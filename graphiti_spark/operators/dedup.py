@@ -101,19 +101,27 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     cut lineage (SURVEY.md §7 risk 2); rounds are O(diameter), and alias
     components have diameter ≤ 2-3. Deterministic: min() is order-free.
     """
+    # Materialize pairs once — the symmetric union consumes it twice, and
+    # recomputing the blocking join per branch doubles the heaviest stage.
+    pairs = pairs.localCheckpoint(eager=True)
     sym = (pairs.select(F.col("uuid_a").alias("src"), F.col("uuid_b").alias("dst"))
            .union(pairs.select(F.col("uuid_b").alias("src"),
                                F.col("uuid_a").alias("dst"))))
     sym = sym.localCheckpoint(eager=True)
     labels = vertices.select(F.col("uuid"), F.col("uuid").alias("component"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (sym.join(labels, sym.dst == labels.uuid)
                    .select(F.col("src").alias("uuid"), "component"))
         new_labels = (labels.union(msgs)
                       .groupBy("uuid")
                       .agg(F.min("component").alias("component")))
         new_labels = new_labels.localCheckpoint(eager=True)
+        if it == 0:
+            # Alias components have diameter ≥ 1; the first round always
+            # changes something, so skip one convergence-check job.
+            labels = new_labels
+            continue
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "uuid")
                    .where(F.col("n.component") != F.col("o.component"))

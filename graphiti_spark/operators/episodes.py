@@ -34,16 +34,26 @@ def stable_id_cols(*cols):
     return F.substring(F.sha1(F.concat_ws(SEP, *cols)), 1, 32)
 
 
-def assemble_episodes(transcripts: DataFrame, run_ts: datetime) -> DataFrame:
-    """Window over (conv_id, turn_idx) → one episode row per turn."""
+def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
+                      include_context: bool = False) -> DataFrame:
+    """Window over (conv_id, turn_idx) → one episode row per turn.
+
+    ``include_context`` materializes the previous-3-turns window
+    (EPISODE_WINDOW_LEN); the deterministic extraction rules don't consume
+    it, so the pipeline leaves it off — it triples the episode-row payload
+    that every downstream shuffle and cache carries. Context retrieval for
+    the read path is :func:`retrieve_episodes`.
+    """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     content = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    prev_ctx = (F.collect_list("content")
+                 .over(w.rowsBetween(-EPISODE_WINDOW_LEN, -1))
+                if include_context
+                else F.array().cast("array<string>"))
     return (
         transcripts
         .withColumn("content", content)
-        .withColumn("prev_context",
-                    F.collect_list("content")
-                     .over(w.rowsBetween(-EPISODE_WINDOW_LEN, -1)))
+        .withColumn("prev_context", prev_ctx)
         .select(
             stable_id_cols(F.lit("episode"), F.col("conv_id"),
                            F.col("turn_idx").cast("string")).alias("uuid"),

@@ -41,6 +41,29 @@ def extract_mentions_udf(content: pd.Series) -> pd.Series:
     return content.map(lambda c: rules.extract_mentions(c or ""))
 
 
+# Combined single-pass extraction: mentions + triples from one scan of the
+# content (one Python stage instead of two full Arrow round-trips).
+COMBINED = T.StructType([
+    T.StructField("mentions", T.ArrayType(MENTION), False),
+    T.StructField("triples", T.ArrayType(TRIPLE), False),
+])
+
+
+@F.pandas_udf(COMBINED)
+def extract_all_udf(content: pd.Series, ts: pd.Series) -> pd.DataFrame:
+    mentions, triples = [], []
+    for c, t in zip(content, ts):
+        c = c or ""
+        mentions.append(rules.extract_mentions(c))
+        t_aware = None if pd.isna(t) else pd.Timestamp(t).tz_localize("UTC")
+        rows = rules.extract_triples(c, t_aware)
+        triples.append([
+            {**r, "valid_at": _naive_utc(r["valid_at"]),
+             "invalid_at": _naive_utc(r["invalid_at"])}
+            for r in rows])
+    return pd.DataFrame({"mentions": mentions, "triples": triples})
+
+
 def _naive_utc(dt) -> datetime | None:
     if dt is None or (isinstance(dt, float) and pd.isna(dt)):
         return None
@@ -72,6 +95,41 @@ def embed_udf(text: pd.Series) -> pd.Series:
 def norm_name_col(col):
     """JVM-side rules.normalize_name: lower, trim, collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def extract_combined(episodes: DataFrame) -> DataFrame:
+    """One UDF pass per episode → (episode meta, mentions[], triples[]).
+    The pipeline persists THIS and derives both the mentions and raw-edge
+    tables from it, so content is scanned by Python exactly once."""
+    return (episodes
+            .select("group_id", F.col("uuid").alias("episode_uuid"),
+                    "turn_idx", "valid_at",
+                    extract_all_udf(F.col("content"),
+                                    F.col("valid_at")).alias("x")))
+
+
+def mentions_from_combined(combined: DataFrame) -> DataFrame:
+    return (combined
+            .select("group_id", "episode_uuid", "turn_idx",
+                    F.explode("x.mentions").alias("m"))
+            .select("group_id", "episode_uuid", "turn_idx",
+                    F.col("m.name").alias("name"),
+                    norm_name_col(F.col("m.name")).alias("name_norm"),
+                    F.col("m.entity_type_id").alias("entity_type_id"))
+            .withColumn("entity_uuid",
+                        stable_id_cols(F.lit("entity"), F.col("group_id"),
+                                       F.col("name_norm"))))
+
+
+def edges_from_combined(combined: DataFrame, run_ts) -> DataFrame:
+    t = (combined
+         .select("group_id", "episode_uuid", "turn_idx",
+                 F.explode("x.triples").alias("t"))
+         .select("group_id", "episode_uuid", "turn_idx",
+                 "t.subj", "t.pred", "t.obj", "t.fact",
+                 F.col("t.valid_at").alias("valid_at"),
+                 F.col("t.invalid_at").alias("invalid_at")))
+    return _finish_raw_edges(t, run_ts)
 
 
 def extract_mentions(episodes: DataFrame) -> DataFrame:
@@ -135,6 +193,10 @@ def extract_edges(episodes: DataFrame, run_ts: datetime) -> DataFrame:
                 F.col("t.valid_at").alias("valid_at"),
                 F.col("t.invalid_at").alias("invalid_at"))
     )
+    return _finish_raw_edges(t, run_ts)
+
+
+def _finish_raw_edges(t: DataFrame, run_ts) -> DataFrame:
     subj_norm = norm_name_col(F.col("subj"))
     obj_norm = norm_name_col(F.col("obj"))
     return (

@@ -52,9 +52,16 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
     """
     is_neg = F.col("valid_at").isNull() & F.col("invalid_at").isNotNull()
     df = edges_raw.withColumn("_neg", is_neg)
-    order = F.struct(
+    # Flat ordering struct: comparison short-circuits at the unique uuid,
+    # so the payload fields (fact/subj/obj) ride along without ever being
+    # compared — one cheap min() instead of a nested-struct aggregate.
+    first_struct = F.struct(
         F.coalesce(F.col("valid_at"), F.col("invalid_at")).alias("t"),
-        F.col("turn_idx").alias("ti"), F.col("uuid").alias("u"))
+        F.col("turn_idx").alias("ti"),
+        F.col("uuid").alias("uuid"),
+        F.col("fact").alias("fact"),
+        F.col("subj").alias("subj"),
+        F.col("obj").alias("obj"))
     # Negation rows with distinct timestamps stay distinct — merging them to
     # a min would lose later "no longer ..." statements; only exact repeats
     # collapse. Positive rows merge per (group, src, pred, dst).
@@ -65,11 +72,7 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
                       F.when(is_neg, F.col("invalid_at")).otherwise(F.lit(None)))
         .groupBy(*grp)
         .agg(
-            F.min(F.struct(order.alias("o"),
-                           F.col("uuid").alias("uuid"),
-                           F.col("fact").alias("fact"),
-                           F.col("subj").alias("subj"),
-                           F.col("obj").alias("obj"))).alias("first"),
+            F.min(first_struct).alias("first"),
             F.min("valid_at").alias("valid_at"),
             F.min("created_at").alias("created_at"),
             F.array_sort(F.array_distinct(
@@ -91,6 +94,10 @@ def apply_versioning(edges: DataFrame, run_ts: datetime) -> DataFrame:
     """Fill invalid_at / expired_at per the T1/T2 rules. Input: output of
     :func:`dedupe_edges`. Output: full EDGES-shaped rows (minus embeddings).
     """
+    # The input feeds three branches (pos, neg, pos_keys) — persist so the
+    # upstream dedupe/remap chain is computed once, not per branch.
+    from pyspark.storagelevel import StorageLevel
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     pos = edges.where(~F.col("_neg"))
     neg = edges.where(F.col("_neg"))
 

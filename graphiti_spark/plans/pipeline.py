@@ -49,10 +49,19 @@ def _fingerprint(**kwargs) -> str:
 def build_graph(spark: SparkSession, transcripts: DataFrame,
                 store: TableStore | None = None,
                 run_ts: datetime = RUN_TS,
-                fingerprint_extra: str = "") -> GraphTables:
+                fingerprint_extra: str = "",
+                with_embeddings: bool = False) -> GraphTables:
     """Run the full pipeline. With a `store`, every stage is materialized
-    and resumable; without, the DAG stays lazy (single Catalyst plan)."""
-    fp = _fingerprint(v=1, run_ts=run_ts, extra=fingerprint_extra)
+    and resumable; without, stages persist in memory.
+
+    ``with_embeddings=True`` additionally materializes ``name_embedding`` /
+    ``fact_embedding`` columns (dim 1024, hash-based — E7) for the vector
+    search layer; the core triple/versioning output never depends on them
+    (dedup verifies via token-cosine, operators/dedup.py), so the default
+    keeps ~1 GB/million-rows of Arrow traffic out of the hot path.
+    """
+    fp = _fingerprint(v=1, run_ts=run_ts, extra=fingerprint_extra,
+                      emb=with_embeddings)
 
     # Partition the input by conversation BEFORE any compute: a single
     # parquet file (or an AQE-coalesced shuffle) would otherwise serialize
@@ -64,20 +73,34 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
 
     def stage(name: str, build, partition_by=None) -> DataFrame:
         if store is None:
-            # Lazy mode: persist each stage so multi-consumer stages
-            # (episodes → mentions+edges_raw, uuid_map → 3 joins) are
-            # computed once, mirroring the store-backed materialization.
+            # Storeless mode: persist AND materialize each stage eagerly.
+            # A lazy persist is not enough — the first action would pull
+            # several branches (e.g. the blocking self-join's two sides)
+            # through the cold cache concurrently, computing the shared
+            # subtree more than once before any partition lands in cache.
             from pyspark.storagelevel import StorageLevel
-            return build().persist(StorageLevel.MEMORY_AND_DISK)
+            df = build().persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            return df
         return store.stage(name, fp, build, partition_by)
 
     episodes = stage("episodes",
                      lambda: ep.assemble_episodes(transcripts, run_ts))
+    # Two independent UDF passes over the cached episode content, each
+    # producing a FLAT exploded table. (A single combined pass was tried
+    # and reverted: materializing 'array<struct>' intermediates moved more
+    # bytes through cache+shuffle than the second Python scan costs, and
+    # Python compute parallelizes while cache bandwidth does not.)
     mentions = stage("mentions", lambda: extract.extract_mentions(episodes))
-    edges_raw = stage("edges_raw", lambda: extract.extract_edges(episodes, run_ts))
+    edges_raw = stage("edges_raw",
+                      lambda: extract.extract_edges(episodes, run_ts))
 
     def build_entities():
-        raw = extract.raw_entities(mentions, run_ts)
+        from pyspark.storagelevel import StorageLevel
+        # raw_entities feeds blocking, CC vertices, and the canonical
+        # merge — persist so it is computed once.
+        raw = (extract.raw_entities(mentions, run_ts)
+               .persist(StorageLevel.MEMORY_AND_DISK))
         canonical, uuid_map = dedup.canonicalize_entities(raw, run_ts)
         # stash uuid_map inside the same stage dir for resume atomicity
         return canonical.join(
@@ -96,10 +119,12 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
         remapped = dedup.resolve_edge_pointers(edges_raw, uuid_map)
         deduped = versioning.dedupe_edges(remapped)
         versioned = versioning.apply_versioning(deduped, run_ts)
-        return (versioned
-                .withColumn("fact_embedding", extract.embed_udf(F.col("fact")))
-                .withColumn("attributes",
-                            F.create_map().cast("map<string,string>")))
+        out = versioned.withColumn(
+            "attributes", F.create_map().cast("map<string,string>"))
+        if with_embeddings:
+            out = out.withColumn("fact_embedding",
+                                 extract.embed_udf(F.col("fact")))
+        return out
 
     edges = stage("edges", build_edges)
 
@@ -142,13 +167,15 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
         trunc = F.when(F.size(words) > SUMMARY_MAX_WORDS,
                        F.array_join(F.slice(words, 1, SUMMARY_MAX_WORDS), " ")
                        ).otherwise(F.col("_summary"))
-        return (entities.join(per_entity, "uuid", "left")
-                .withColumn("summary", F.coalesce(trunc, F.lit("")))
-                .withColumn("attributes",
-                            F.create_map().cast("map<string,string>"))
-                .withColumn("name_embedding",
-                            extract.embed_udf(F.col("name_norm")))
-                .drop("_summary"))
+        out = (entities.join(per_entity, "uuid", "left")
+               .withColumn("summary", F.coalesce(trunc, F.lit("")))
+               .withColumn("attributes",
+                           F.create_map().cast("map<string,string>"))
+               .drop("_summary"))
+        if with_embeddings:
+            out = out.withColumn("name_embedding",
+                                 extract.embed_udf(F.col("name_norm")))
+        return out
 
     entities_final = stage("entities_final", build_summaries)
 

@@ -117,4 +117,4 @@ def test_resume_reuses_checkpointed_stages(spark, corpus_dir, tmp_path):
 
 def _fp():
     from graphiti_spark.plans.pipeline import RUN_TS, _fingerprint
-    return _fingerprint(v=1, run_ts=RUN_TS, extra="")
+    return _fingerprint(v=1, run_ts=RUN_TS, extra="", emb=False)
