@@ -103,15 +103,13 @@ def _expected_versioning(pos: list[dict], neg: list[dict]) -> list[dict]:
     return out
 
 
-def generate(sf: float, seed: int = SEED):
-    """Returns (transcripts, golden_triples, golden_components, golden_edges)
-    as pandas DataFrames. Deterministic in (sf, seed)."""
-    rng = np.random.default_rng(seed)
-    n_convs = n_convs_for_sf(sf)
-
+def _gen_range(args):
+    """Generate conversations [lo, hi) — each conv is seeded independently
+    by (seed, ci), so chunked generation is bit-identical to serial."""
+    seed, lo, hi = args
     t_rows, g_triples, g_comp, g_edges = [], [], [], []
 
-    for ci in range(n_convs):
+    for ci in range(lo, hi):
         conv_id = f"conv{ci:06d}"
         conv_rng = np.random.default_rng(seed * 1_000_003 + ci)
         base = BASE_TS + timedelta(hours=ci)
@@ -255,6 +253,31 @@ def generate(sf: float, seed: int = SEED):
                             "valid_at": e["valid_at"],
                             "invalid_at": e["invalid_at"]})
 
+    return t_rows, g_triples, g_comp, g_edges
+
+
+def generate(sf: float, seed: int = SEED):
+    """Returns (transcripts, golden_triples, golden_components, golden_edges)
+    as pandas DataFrames. Deterministic in (sf, seed); large scale factors
+    generate chunk-parallel (per-conv seeding makes order/content identical
+    to a serial run)."""
+    n_convs = n_convs_for_sf(sf)
+    if n_convs >= 20_000:
+        import multiprocessing as mp
+        n_chunks = 64
+        bounds = [(seed, i * n_convs // n_chunks,
+                   (i + 1) * n_convs // n_chunks) for i in range(n_chunks)]
+        with mp.Pool(min(16, mp.cpu_count())) as pool:
+            parts = pool.map(_gen_range, bounds)
+    else:
+        parts = [_gen_range((seed, 0, n_convs))]
+    t_rows, g_triples, g_comp, g_edges = [], [], [], []
+    for t, gt, gc, ge in parts:
+        t_rows += t
+        g_triples += gt
+        g_comp += gc
+        g_edges += ge
+
     def _df(rows, ts_cols):
         df = pd.DataFrame(rows)
         for c in ts_cols:
@@ -278,8 +301,11 @@ def ensure_corpus(sf: float, root: str | None = None, seed: int = SEED) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     tr, gt, gc, ge = generate(sf, seed)
-    # micro-second timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
-    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    # micro-second timestamps: Spark cannot read TIMESTAMP(NANOS) parquet.
+    # Small row groups keep the file SPLITTABLE — a single 300 MB row group
+    # would force Spark to scan the whole corpus in one task.
+    kw = dict(index=False, coerce_timestamps="us",
+              allow_truncated_timestamps=True, row_group_size=100_000)
     tr.to_parquet(os.path.join(out, "transcripts.parquet"), **kw)
     gt.to_parquet(os.path.join(out, "golden_triples.parquet"), **kw)
     gc.to_parquet(os.path.join(out, "golden_components.parquet"), index=False)

@@ -1,0 +1,148 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Three tiers, all pure DataFrame ops:
+
+  * :func:`brute_force_knn` — exact cosine top-k; the correctness baseline
+    (quantized integer dot product, order-independent and engine-exact —
+    same trick as queries.q_embedding_knn).
+  * :func:`build_ivf` / :func:`ivf_knn` — IVF: coarse centroids from a
+    deterministic k-means-- (single Lloyd step from hash-seeded picks),
+    broadcast to prune candidates to ``nprobe`` cells, exact rerank inside.
+    At 100 TB the cell assignment is the partition key: each probe touches
+    nprobe/ncells of the data instead of all of it.
+  * :func:`signlsh_buckets` — random-hyperplane (SimHash-for-vectors) LSH:
+    bucket key = sign pattern of d·h_i with deterministic hash-derived
+    hyperplanes; near-duplicate pairs come from a bucket equi-join, the
+    embedding-space twin of MinHash-LSH for token sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _qvec(col: str = "embedding") -> str:
+    return (f"transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0)"
+            " AS BIGINT))")
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                  " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+
+def brute_force_knn(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", emb_col: str = "embedding"
+                    ) -> DataFrame:
+    """Exact top-k by quantized dot product. queries: (query_id, embedding).
+    Broadcast the (small) query side; scan the corpus once."""
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                               F.expr(_qvec(emb_col)).alias("nv"))
+    probes = queries.select(F.col("query_id"),
+                            F.expr(_qvec(emb_col)).alias("qv"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score_q").desc(), F.col("neighbor_id")))
+    return (F.broadcast(probes).crossJoin(corpus)
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", _dot("qv", "nv").alias("score_q"))
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= k))
+
+
+def build_ivf(embeddings: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding"
+              ) -> tuple[DataFrame, DataFrame]:
+    """→ (centroids, assignments).
+
+    Deterministic coarse quantizer: seed centroids are the vectors whose
+    id hashes to the smallest values (order-free pick), then one Lloyd
+    refinement (mean per cell). Returns
+    centroids(cell_id, cv: array<bigint>) and assignments(id, cell_id).
+    """
+    q = embeddings.select(F.col(id_col).alias("_id"),
+                          F.expr(_qvec(emb_col)).alias("qv"))
+    w = Window.orderBy("_h", "_id")
+    seeds = (q.withColumn("_h", F.crc32(F.col("_id").cast("string")))
+             .withColumn("cell_id", F.row_number().over(w) - 1)
+             .where(F.col("cell_id") < n_cells)
+             .select("cell_id", F.col("qv").alias("cv")))
+
+    assign0 = _assign(q, seeds)
+    cents = (assign0.join(q, "_id")
+             .select("cell_id", F.posexplode("qv"))
+             .groupBy("cell_id", "pos")
+             .agg(F.avg("col").cast("bigint").alias("v"))
+             .groupBy("cell_id")
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+             .select("cell_id",
+                     F.expr("transform(s, x -> x.v)").alias("cv")))
+    return cents, _assign(q, cents).withColumnRenamed("_id", id_col)
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    w = Window.partitionBy("_id").orderBy(F.col("d").desc(), F.col("cell_id"))
+    return (q.crossJoin(F.broadcast(cents))
+            .select("_id", "cell_id", _dot("qv", "cv").alias("d"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).select("_id", "cell_id"))
+
+
+def ivf_knn(embeddings: DataFrame, queries: DataFrame,
+            centroids: DataFrame, assignments: DataFrame,
+            k: int = 5, nprobe: int = 4,
+            id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Probe the ``nprobe`` closest cells per query, exact-rerank inside.
+    Candidate volume ≈ nprobe/n_cells of the corpus — the scan-pruning
+    that makes 100 TB ANN tractable (cells = partition key)."""
+    probes = queries.select("query_id", F.expr(_qvec(emb_col)).alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("d").desc(), "cell_id")
+    probe_cells = (F.broadcast(probes).crossJoin(F.broadcast(centroids))
+                   .select("query_id", "cell_id", "qv",
+                           _dot("qv", "cv").alias("d"))
+                   .withColumn("_rn", F.row_number().over(wq))
+                   .where(F.col("_rn") <= nprobe)
+                   .select("query_id", "cell_id", "qv"))
+    corpus = (embeddings.select(F.col(id_col).alias("neighbor_id"),
+                                F.expr(_qvec(emb_col)).alias("nv"))
+              .join(assignments.withColumnRenamed(id_col, "neighbor_id"),
+                    "neighbor_id"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score_q").desc(), F.col("neighbor_id")))
+    return (probe_cells.join(corpus, "cell_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    _dot("qv", "nv").alias("score_q"))
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= k))
+
+
+def signlsh_buckets(embeddings: DataFrame, n_planes: int = 16,
+                    id_col: str = "vec_id", emb_col: str = "embedding"
+                    ) -> DataFrame:
+    """Random-hyperplane LSH bucket key per vector: bit_i = sign(Σ_j v_j ·
+    h(i,j)) with h a deterministic ±1 hash — cosine-similar vectors share
+    buckets w.h.p. Returns (id, bucket)."""
+    # hyperplane component h(i,j) = ±1 from crc32(i:j) parity — computed
+    # JVM-side, no stored plane matrix.
+    bits = []
+    for i in range(n_planes):
+        proj = F.expr(
+            "aggregate(zip_with({v}, sequence(0, size({v}) - 1),"
+            " (x, j) -> CAST(x AS DOUBLE) * (CAST(pmod(crc32(CAST"
+            "(concat('{i}:', j) AS BINARY)), 2) AS DOUBLE) * 2 - 1)),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)".format(
+                v=emb_col, i=i))
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(F.col(id_col),
+                             F.concat(*bits).alias("bucket"))
+
+
+def near_dup_pairs_lsh(embeddings: DataFrame, n_planes: int = 12,
+                       id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-duplicate candidates via sign-LSH bucket equi-join."""
+    b = signlsh_buckets(embeddings, n_planes, id_col)
+    a = b.select(F.col(id_col).alias("id_a"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), "bucket")
+    return (a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())

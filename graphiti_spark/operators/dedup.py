@@ -112,21 +112,24 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     labels = labels.localCheckpoint(eager=True)
     for it in range(max_iter):
         msgs = (sym.join(labels, sym.dst == labels.uuid)
-                   .select(F.col("src").alias("uuid"), "component"))
-        new_labels = (labels.union(msgs)
+                .select(F.col("src").alias("uuid"), "component",
+                        F.lit(False).alias("own")))
+        # Old label rides along (own=True) so the convergence check is a
+        # cheap scan of the checkpointed result — no extra join job.
+        new_labels = (labels.withColumn("own", F.lit(True)).union(msgs)
                       .groupBy("uuid")
-                      .agg(F.min("component").alias("component")))
+                      .agg(F.min("component").alias("component"),
+                           F.min(F.when(F.col("own"), F.col("component")))
+                            .alias("_old")))
         new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels.select("uuid", "component")
         if it == 0:
             # Alias components have diameter ≥ 1; the first round always
-            # changes something, so skip one convergence-check job.
-            labels = new_labels
+            # changes something — skip its convergence check.
             continue
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "uuid")
-                   .where(F.col("n.component") != F.col("o.component"))
+        changed = (new_labels
+                   .where(F.col("component") != F.col("_old"))
                    .limit(1).count())
-        labels = new_labels
         if changed == 0:
             break
     return labels

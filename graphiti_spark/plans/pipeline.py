@@ -71,16 +71,21 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
     transcripts = transcripts.repartition(n_part, "conv_id")
 
-    def stage(name: str, build, partition_by=None) -> DataFrame:
+    def stage(name: str, build, partition_by=None, eager: bool = True
+              ) -> DataFrame:
         if store is None:
-            # Storeless mode: persist AND materialize each stage eagerly.
-            # A lazy persist is not enough — the first action would pull
-            # several branches (e.g. the blocking self-join's two sides)
-            # through the cold cache concurrently, computing the shared
-            # subtree more than once before any partition lands in cache.
+            # Storeless mode: persist AND (for multi-consumer stages)
+            # materialize eagerly. A lazy persist is not enough there — the
+            # first action would pull several branches (e.g. the blocking
+            # self-join's two sides) through the cold cache concurrently,
+            # computing the shared subtree more than once before any
+            # partition lands in cache. Leaf outputs stay lazy so callers
+            # that never touch them (throughput runs consuming only
+            # `edges`) don't pay for them.
             from pyspark.storagelevel import StorageLevel
             df = build().persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()
+            if eager:
+                df.count()
             return df
         return store.stage(name, fp, build, partition_by)
 
@@ -91,9 +96,14 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     # and reverted: materializing 'array<struct>' intermediates moved more
     # bytes through cache+shuffle than the second Python scan costs, and
     # Python compute parallelizes while cache bandwidth does not.)
-    mentions = stage("mentions", lambda: extract.extract_mentions(episodes))
+    # Single-consumer stages on the throughput path stay lazy (persisted
+    # but unmaterialized): one fewer barrier each; the cold-cache race
+    # only affects multi-consumer subtrees.
+    mentions = stage("mentions", lambda: extract.extract_mentions(episodes),
+                     eager=False)
     edges_raw = stage("edges_raw",
-                      lambda: extract.extract_edges(episodes, run_ts))
+                      lambda: extract.extract_edges(episodes, run_ts),
+                      eager=False)
 
     def build_entities():
         from pyspark.storagelevel import StorageLevel
@@ -145,7 +155,8 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                     F.col("entity_canonical").alias("target_node_uuid"),
                     F.lit(run_ts).cast("timestamp").alias("created_at")))
 
-    episodic_edges = stage("episodic_edges", build_episodic_edges)
+    episodic_edges = stage("episodic_edges", build_episodic_edges,
+                           eager=False)
 
     def build_summaries():
         # E4 deterministic stand-in: summary = chronological concat of the
@@ -177,7 +188,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                                  extract.embed_udf(F.col("name_norm")))
         return out
 
-    entities_final = stage("entities_final", build_summaries)
+    entities_final = stage("entities_final", build_summaries, eager=False)
 
     if store is not None:
         store.flush_lineage()

@@ -57,8 +57,15 @@ def get_spark(app: str = "graphiti_spark", cores: int | None = None,
         # would coalesce small shuffles to 1-2 partitions and serialize
         # the Python compute. On a real cluster with TB inputs leave the
         # defaults — partitions are plentiful there.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # This sandbox VM burns ~45% CPU in SYSTEM time on shuffle file
+        # churn (page-fault/TLB pathology); larger write buffers + zstd
+        # trade kernel page traffic for user-space compute, which is the
+        # resource that actually scales here.
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 16g measured materially faster than 64g here (GC/page-fault cost
