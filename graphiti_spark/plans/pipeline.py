@@ -105,25 +105,35 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                       lambda: extract.extract_edges(episodes, run_ts),
                       eager=False)
 
+    _canon: dict = {}
+
+    def canon():
+        # Memoized: CC runs eagerly at construction, so this must only be
+        # invoked from inside a stage build (skipped entirely on resume)
+        # and at most once per pipeline run.
+        if "v" not in _canon:
+            from pyspark.storagelevel import StorageLevel
+            # raw_entities feeds blocking, CC vertices, and the canonical
+            # merge — persist so it is computed once.
+            raw = (extract.raw_entities(mentions, run_ts)
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            _canon["v"] = dedup.canonicalize_entities(raw, run_ts)
+        return _canon["v"]
+
+    # uuid_map is its own (small, 2-column) stage — the edge remap and the
+    # episodic MENTIONS build consume it directly, without detouring
+    # through the wider entities table.
+    uuid_map = stage("uuid_map", lambda: canon()[1])
+
     def build_entities():
-        from pyspark.storagelevel import StorageLevel
-        # raw_entities feeds blocking, CC vertices, and the canonical
-        # merge — persist so it is computed once.
-        raw = (extract.raw_entities(mentions, run_ts)
-               .persist(StorageLevel.MEMORY_AND_DISK))
-        canonical, uuid_map = dedup.canonicalize_entities(raw, run_ts)
-        # stash uuid_map inside the same stage dir for resume atomicity
+        canonical, umap = canon()
         return canonical.join(
-            uuid_map.groupBy("canonical_uuid")
-                    .agg(F.array_sort(F.collect_list("uuid")).alias("member_uuids")),
+            umap.groupBy("canonical_uuid")
+                .agg(F.array_sort(F.collect_list("uuid")).alias("member_uuids")),
             canonical.uuid == F.col("canonical_uuid"), "left"
         ).drop("canonical_uuid")
 
-    entities = stage("entities", build_entities)
-    uuid_map = (entities
-                .select(F.col("uuid").alias("canonical_uuid"),
-                        F.explode("member_uuids").alias("uuid"))
-                .select("uuid", "canonical_uuid"))
+    entities = stage("entities", build_entities, eager=False)
 
     def build_edges():
         remapped = dedup.resolve_edge_pointers(edges_raw, uuid_map)

@@ -755,6 +755,62 @@ def q_kg_build_edges(spark, sf_dir):
                           "invalid_at", "expired_at")
 
 
+def q_embedding_knn_ivf(spark, sf_dir):
+    """IVF-pruned ANN (the 100 TB scale path): coarse-quantizer cells →
+    probe top-4 of 8 → exact rerank inside. Deterministic but iterative
+    (Lloyd step) → rows-only check; pytest asserts recall vs brute force
+    and exactness at nprobe=n_cells."""
+    from graphiti_spark.operators import ann
+    e = load(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    cents, assign = ann.build_ivf(e, n_cells=8)
+    return ann.ivf_knn(e, queries, cents, assign, k=5, nprobe=4)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate candidates via sign-LSH buckets
+    (random-hyperplane SimHash) — bucket equi-join, no O(n²)."""
+    from graphiti_spark.operators import ann
+    return ann.near_dup_pairs_lsh(load(spark, sf_dir, "embeddings"),
+                                  n_planes=10)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprints (rolling-hash min-sampling)
+    via an Arrow-batched UDF; join-ready fingerprint string."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graphiti_spark.functions import text as tx
+
+    @F.pandas_udf(T.StringType())
+    def fp(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: ",".join(
+            format(h, "08x") for h in tx.rolling_fingerprint(t or "")))
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fp(F.col("text")).alias("fingerprint"))
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """64-bit SimHash per document + 16-bit band buckets — near-dup
+    blocking for long documents."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graphiti_spark.functions import text as tx
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: tx.simhash64(tx.tokenize(t or "")) - (1 << 63))
+
+    d = load(spark, sf_dir, "documents")
+    return (d.select("doc_id", sh(F.col("text")).alias("simhash"))
+            .withColumn("band0", F.col("simhash") % 65536))
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -780,6 +836,10 @@ QUERIES = {
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
     "kg_build_edges": q_kg_build_edges,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "simhash_buckets": q_simhash_buckets,
 }
 
 ORACLES = {
