@@ -42,10 +42,14 @@ HEADLINE = [
 ]
 
 
-def _spark(cpus: int):
-    from graphiti_spark.session import get_spark
-    s = get_spark(app=f"bench_local{cpus}", cores=cpus,
-                  shuffle_partitions=max(cpus, 8))
+def _spark(cpus: int, execs: int | None = None):
+    from graphiti_spark.session import get_spark, ship_package
+    if execs:
+        s = get_spark(app=f"bench_cluster{execs}x4", executors=execs)
+    else:
+        s = get_spark(app=f"bench_local{cpus}", cores=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    ship_package(s)   # executors run from their own work dirs
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -171,11 +175,12 @@ if __name__ == "__main__":
         ap2 = _a.ArgumentParser()
         ap2.add_argument("--pipeline-only", action="store_true")
         ap2.add_argument("--cpus", type=int, default=32)
+        ap2.add_argument("--execs", type=int, default=None)
         ap2.add_argument("--pipeline-sf", type=float, default=0.1)
         a = ap2.parse_args()
-        s = _spark(a.cpus)
+        s = _spark(a.cpus, a.execs)
         r = run_pipeline(s, a.pipeline_sf)
         s.stop()
-        print(json.dumps({**r, "cpus": a.cpus}))
+        print(json.dumps({**r, "cpus": a.cpus, "execs": a.execs}))
     else:
         main()

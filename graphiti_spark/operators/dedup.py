@@ -135,17 +135,154 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     return labels
 
 
-def canonicalize_entities(entities: DataFrame, run_ts) -> tuple[DataFrame, DataFrame]:
+def grouped_uuid_map(entities: DataFrame, max_full_pairwise: int = 200
+                     ) -> DataFrame:
+    """(uuid → canonical_uuid) via ONE ``applyInPandas`` over ``group_id``.
+
+    Duplicate components can never span groups — every entity uuid is a
+    hash of (group_id, name) and all candidate joins are group-scoped — so
+    connected components reduce to an in-group union-find: one shuffle,
+    no driver-side iteration, no convergence barriers. This is the
+    scale-out shape: groups are conversation-sized (tens of entities), and
+    a group with more than ``max_full_pairwise`` members falls back to
+    token-blocked candidate generation (capped per token like MAX_BLOCK)
+    inside the same UDF. The global iterative-join CC
+    (:func:`connected_components`) remains for graphs whose components may
+    span the partition key."""
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def solve_group(uuids: list, names: list) -> list:
+        toks = [set(n.split()) for n in names]
+        k = len(uuids)
+
+        parent = list(range(k))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        def dup(i, j):
+            if names[i] == names[j]:
+                return True
+            ti, tj = toks[i], toks[j]
+            if not ti or not tj:
+                return False
+            if ti <= tj or tj <= ti:
+                return True
+            cos = len(ti & tj) / math.sqrt(len(ti) * len(tj))
+            return cos >= rules.NODE_COSINE_THRESHOLD
+
+        if k <= max_full_pairwise:
+            for i in range(k):
+                for j in range(i + 1, k):
+                    if dup(i, j):
+                        union(i, j)
+        else:
+            blocks: dict[str, list[int]] = {}
+            for i, ts in enumerate(toks):
+                for t in ts:
+                    b = blocks.setdefault(t, [])
+                    if len(b) < MAX_BLOCK:
+                        b.append(i)
+            seen = set()
+            for members in blocks.values():
+                for ai in range(len(members)):
+                    for bi in range(ai + 1, len(members)):
+                        i, j = members[ai], members[bi]
+                        key = (i, j)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        if dup(i, j):
+                            union(i, j)
+
+        # canonical = lexicographic-min uuid in the component
+        canon_by_root: dict[int, str] = {}
+        for i in range(k):
+            r = find(i)
+            c = canon_by_root.get(r)
+            if c is None or uuids[i] < c:
+                canon_by_root[r] = uuids[i]
+        return [canon_by_root[find(i)] for i in range(k)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Manual group splitting over group-sorted partitions: millions of
+        # conversation-sized groups make per-group pandas dispatch
+        # (applyInPandas) the bottleneck; here each Arrow batch handles
+        # thousands of groups with plain-list slicing. A group straddling
+        # two batches is carried over (state persists across yields
+        # within one partition).
+        carry_g, carry_u, carry_n = None, [], []
+        for pdf in batches:
+            gs = pdf["group_id"].tolist()
+            us = pdf["uuid"].tolist()
+            ns = pdf["name_norm"].tolist()
+            out_u, out_c = [], []
+            i, n = 0, len(gs)
+            while i < n:
+                j = i
+                g = gs[i]
+                while j < n and gs[j] == g:
+                    j += 1
+                uu, nn = us[i:j], ns[i:j]
+                if carry_g == g:
+                    uu, nn = carry_u + uu, carry_n + nn
+                    carry_u, carry_n, carry_g = [], [], None
+                elif carry_g is not None:
+                    cc = solve_group(carry_u, carry_n)
+                    out_u += carry_u
+                    out_c += cc
+                    carry_u, carry_n, carry_g = [], [], None
+                if j == n:
+                    carry_g, carry_u, carry_n = g, uu, nn   # maybe continues
+                else:
+                    out_u += uu
+                    out_c += solve_group(uu, nn)
+                i = j
+            if out_u:
+                yield pd.DataFrame({"uuid": out_u, "canonical_uuid": out_c})
+        if carry_u:
+            yield pd.DataFrame({"uuid": carry_u,
+                                "canonical_uuid": solve_group(carry_u,
+                                                              carry_n)})
+
+    n_part = max(2 * entities.sparkSession.sparkContext.defaultParallelism, 8)
+    return (entities.select("group_id", "uuid", "name_norm")
+            .repartition(n_part, "group_id")
+            .sortWithinPartitions("group_id", "uuid")
+            .mapInPandas(run, "uuid string, canonical_uuid string"))
+
+
+def canonicalize_entities(entities: DataFrame, run_ts,
+                          grouped: bool = True) -> tuple[DataFrame, DataFrame]:
     """→ (canonical_entities, uuid_map).
 
     uuid_map: (uuid, canonical_uuid) for every raw entity. Canonical row
     keeps the canonical member's surface form; labels = distinct union
     (reference keeps resolved node's fields, ``node_operations.py:258-284``).
     Embeddings are NOT computed here — the pipeline embeds canonical names
-    once, downstream, so the CC/merge shuffles stay narrow."""
-    pairs = duplicate_pairs(entities)
-    cc = connected_components(entities.select("uuid"), pairs)
-    uuid_map = cc.select("uuid", F.col("component").alias("canonical_uuid"))
+    once, downstream, so the CC/merge shuffles stay narrow.
+
+    ``grouped=True`` (default) uses the single-shuffle per-group
+    union-find (:func:`grouped_uuid_map`); ``grouped=False`` runs the
+    blocking join + global iterative CC — same semantics, kept for graphs
+    whose duplicate relation is not partition-scoped."""
+    if grouped:
+        uuid_map = grouped_uuid_map(entities)
+    else:
+        pairs = duplicate_pairs(entities)
+        cc = connected_components(entities.select("uuid"), pairs)
+        uuid_map = cc.select("uuid", F.col("component").alias("canonical_uuid"))
 
     merged = (
         entities.join(uuid_map, "uuid")

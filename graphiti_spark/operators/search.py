@@ -164,10 +164,17 @@ def rrf(result_lists: list[DataFrame], rank_const: int = 1,
 def episode_mentions_reranker(episodic_edges: DataFrame,
                               candidates: DataFrame) -> DataFrame:
     """A3: relevance = MENTIONS count per entity
-    (``search_utils.py:939-965``)."""
-    counts = (episodic_edges.groupBy(
-        F.col("target_node_uuid").alias("uuid"))
-        .agg(F.count("*").cast("double").alias("score")))
+    (``search_utils.py:939-965``). Counting per canonical entity is the
+    canonical hot-key aggregation at 10^12-turn scale (a famous entity is
+    mentioned everywhere), so it goes through the two-phase salted
+    aggregation."""
+    from graphiti_spark.operators.skew import salted_count
+    counts = (salted_count(
+        episodic_edges.select(F.col("target_node_uuid").alias("entity"),
+                              F.col("uuid").alias("_edge_uuid")),
+        ["entity"], unique_col="_edge_uuid", out="score")
+        .select(F.col("entity").alias("uuid"),
+                F.col("score").cast("double").alias("score")))
     return (candidates.select("uuid").join(counts, "uuid", "left")
             .na.fill({"score": 0.0})
             .orderBy(F.col("score").desc(), "uuid"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -779,7 +780,6 @@ def q_embedding_near_dup(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprints (rolling-hash min-sampling)
     via an Arrow-batched UDF; join-ready fingerprint string."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     from graphiti_spark.functions import text as tx
@@ -796,7 +796,6 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_simhash_buckets(spark, sf_dir):
     """64-bit SimHash per document + 16-bit band buckets — near-dup
     blocking for long documents."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     from graphiti_spark.functions import text as tx

@@ -38,15 +38,28 @@ def ship_package(spark: SparkSession) -> None:
 
 
 def get_spark(app: str = "graphiti_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              executors: int | None = None,
+              exec_cores: int = 4, exec_mem_mb: int = 6144) -> SparkSession:
+    """``executors=N`` switches to ``local-cluster[N, exec_cores, mem]`` —
+    real executor JVMs over loopback, the faithful sandbox model of an
+    N-executor cluster (each executor: own heap, GC, shuffle server, and
+    Python workers). Plain ``local[cores]`` otherwise."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executors is not None:
+        master = f"local-cluster[{executors},{exec_cores},{exec_mem_mb}]"
+        total_cores = executors * exec_cores
+    else:
+        master = f"local[{cores}]"
+        total_cores = cores
     if shuffle_partitions is None:
         # ~cores locally; on a real cluster this would be 2-3× total cores.
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = max(total_cores, 8)
     builder = (
         SparkSession.builder
-        .master(f"local[{cores}]")
+        .master(master)
+        .config("spark.executor.memory", f"{exec_mem_mb}m")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
