@@ -119,10 +119,11 @@ def build_communities(entities: DataFrame, edges: DataFrame,
                                F.col("community"))
     members = members.withColumn("community_uuid", comm_uuid)
 
-    # name = top-degree member's name (tie → min uuid); summary = ordered
-    # concat of member summaries.
-    pick = F.max(F.struct(F.col("degree"),
-                          F.lit(None).cast("string").alias("_pad"),
+    # name = top-degree member's name, degree ties broken by min uuid;
+    # summary = ordered concat of member summaries. min(struct(-degree,
+    # uuid, ...)) = max degree then lexicographic-min uuid.
+    pick = F.min(F.struct((-F.col("degree")).alias("_nd"),
+                          F.col("uuid").alias("_u"),
                           F.col("name"))).alias("top")
     agg = (members.groupBy("group_id", "community_uuid")
            .agg(pick,

@@ -42,8 +42,10 @@ MAX_BLOCK = 64          # max members of one blocking bucket considered
 
 
 def _tok(col) -> F.Column:
-    """Distinct word tokens of a normalized name (bulk_utils.py:229-231)."""
-    return F.array_distinct(F.array_remove(F.split(col, " "), ""))
+    """Distinct alnum-run tokens of a normalized name — the JVM twin of
+    :func:`graphiti_spark.rules.name_tokens` (punctuated aliases like
+    'coca-cola' / 'coca cola' tokenize identically)."""
+    return F.array_distinct(F.array_remove(F.split(col, "[^a-z0-9]+"), ""))
 
 
 def candidate_pairs(entities: DataFrame) -> DataFrame:
@@ -150,12 +152,16 @@ def grouped_uuid_map(entities: DataFrame, max_full_pairwise: int = 200
     (:func:`connected_components`) remains for graphs whose components may
     span the partition key."""
     import math
+    import re
     from collections.abc import Iterator
 
     import pandas as pd
 
+    alnum = re.compile(r"[a-z0-9]+")
+
     def solve_group(uuids: list, names: list) -> list:
-        toks = [set(n.split()) for n in names]
+        # same alnum-run tokenization as rules.name_tokens / _tok
+        toks = [set(alnum.findall(n)) for n in names]
         k = len(uuids)
 
         parent = list(range(k))

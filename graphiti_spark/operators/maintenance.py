@@ -81,9 +81,12 @@ def remove_episodes(episodes: DataFrame, episodic_edges: DataFrame,
 
     episodes_out = episodes.where(~F.col("uuid").isin(episode_uuids))
 
-    # edges whose episode provenance is entirely within the removed set
+    # Drop only edges whose episode provenance is entirely within the
+    # removed set. Null/empty provenance (manually inserted or externally
+    # loaded edges) means "not created by any episode" → always keep.
+    prov = F.coalesce("episodes", F.array().cast("array<string>"))
     edges_out = edges.where(
-        F.size(F.array_except(F.coalesce("episodes", F.array()), removed)) > 0)
+        (F.size(prov) == 0) | (F.size(F.array_except(prov, removed)) > 0))
 
     kept_mentions = episodic_edges.where(
         ~F.col("source_node_uuid").isin(episode_uuids))
@@ -101,15 +104,32 @@ def remove_episodes(episodes: DataFrame, episodic_edges: DataFrame,
 
 def add_triplet(spark, group_id: str, subj: str, pred: str, obj: str,
                 fact: str, run_ts: datetime, valid_at=None) -> DataFrame:
-    """Manual triple insert routed through the SAME batch pipeline
-    (graphiti.py:979-1017): a single-row transcripts DF → build_graph."""
-    from graphiti_spark.plans.pipeline import build_graph
-    tr = spark.createDataFrame(
-        [(group_id, 0, "user", fact, None,
-          (valid_at or run_ts).replace(tzinfo=None))],
-        "conv_id string, turn_idx int, role string, text string,"
-        " tool string, ts timestamp")
-    return build_graph(spark, tr, run_ts=run_ts).edges
+    """Manual triple insert (graphiti.py:979-1017): the edge row is built
+    DIRECTLY from (subj, pred, obj, fact) — the reference's add_triplet
+    accepts arbitrary triples, so this must not depend on the extraction
+    templates matching the fact text — then merged through the same
+    dedupe + temporal-versioning stages as extracted edges."""
+    from graphiti_spark import rules
+    from graphiti_spark.operators import versioning
+
+    subj_c, obj_c = rules.clean_text(subj), rules.clean_text(obj)
+    if not subj_c or not obj_c or \
+            rules.normalize_name(subj_c) == rules.normalize_name(obj_c):
+        raise ValueError("add_triplet needs two distinct non-empty entities")
+    src = rules.entity_uuid(group_id, subj_c)
+    dst = rules.entity_uuid(group_id, obj_c)
+    va = valid_at or run_ts
+    raw = spark.createDataFrame(
+        [(group_id, rules.episode_uuid(group_id, 0), 0,
+          subj_c, pred, obj_c, rules.clean_text(fact) or fact,
+          va.replace(tzinfo=None), None, src, dst,
+          rules.edge_uuid(group_id, src, pred, dst, fact, 0),
+          run_ts.replace(tzinfo=None))],
+        "group_id string, episode_uuid string, turn_idx int, subj string,"
+        " pred string, obj string, fact string, valid_at timestamp,"
+        " invalid_at timestamp, source_node_uuid string,"
+        " target_node_uuid string, uuid string, created_at timestamp")
+    return versioning.apply_versioning(versioning.dedupe_edges(raw), run_ts)
 
 
 # -- §2.10: incremental micro-batch merge -----------------------------------

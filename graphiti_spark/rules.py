@@ -91,10 +91,18 @@ def normalize_name(name: str) -> str:
     return _WS.sub(" ", (name or "").strip().lower())
 
 
+_ALNUM_RUN = re.compile(r"[a-z0-9]+")
+
+
 def name_tokens(name: str) -> list[str]:
-    """Word tokens of a name, mirroring ``set(name.lower().split())``
-    (``bulk_utils.py:229-231``)."""
-    return [t for t in normalize_name(name).split(" ") if t]
+    """Alnum-run tokens of a normalized name. The reference's word-overlap
+    test is ``set(name.lower().split())`` (``bulk_utils.py:229-231``), but
+    the extraction ``_NAME`` pattern admits internal punctuation ('&.-', so
+    'Coca-Cola' vs 'Coca Cola'); splitting on non-alnum keeps such aliases
+    in the same token space (and in the same dedup block) on every path —
+    this function, the JVM twin (operators/dedup.py), and the fulltext
+    tokenizer (functions/text.py) all use the same alnum-run rule."""
+    return _ALNUM_RUN.findall(normalize_name(name))
 
 
 def split_speaker(content: str) -> tuple[str, str]:

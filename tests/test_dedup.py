@@ -32,6 +32,26 @@ def test_alias_pairs_found_and_distinct_people_kept(spark):
     assert not any(alice in p for p in pairs)
 
 
+def test_punctuated_alias_merges(spark):
+    """Names with internal punctuation ('Coca-Cola' vs 'Coca Cola') must
+    share a block and pass the duplicate rule — alnum-run tokenization on
+    every path (rules.name_tokens, JVM _tok, grouped union-find)."""
+    ents = _entities_df(spark, ["Coca-Cola", "Coca Cola", "Pepsi"])
+    cc1 = rules.entity_uuid("g", "Coca-Cola")
+    cc2 = rules.entity_uuid("g", "Coca Cola")
+    pairs = {(r["uuid_a"], r["uuid_b"])
+             for r in dedup.duplicate_pairs(ents).collect()}
+    assert (min(cc1, cc2), max(cc1, cc2)) in pairs
+    # pure-python rule agrees (single source of truth)
+    assert rules.node_is_duplicate("Coca-Cola", "Coca Cola", 0.0)
+    # grouped union-find (the pipeline path) merges them too
+    umap = {r["uuid"]: r["canonical_uuid"]
+            for r in dedup.grouped_uuid_map(ents).collect()}
+    assert umap[cc1] == umap[cc2] == min(cc1, cc2)
+    assert umap[rules.entity_uuid("g", "Pepsi")] == \
+        rules.entity_uuid("g", "Pepsi")
+
+
 def test_no_cross_group_merge(spark):
     a = _entities_df(spark, ["Bob Smith", "Bob"], group="g1")
     b = _entities_df(spark, ["Bob Smith", "Bob"], group="g2")

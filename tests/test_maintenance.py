@@ -79,6 +79,40 @@ def test_add_triplet_routes_through_pipeline(spark):
     assert rows[0]["name"] == "WORKS_AT" and rows[0]["group_id"] == "gX"
 
 
+def test_add_triplet_accepts_arbitrary_predicates(spark):
+    """The reference add_triplet takes arbitrary triples (graphiti.py:
+    979-1017) — a predicate outside the extraction template set must
+    still produce an edge, not silently return empty."""
+    from graphiti_spark import rules
+    edges = MT.add_triplet(spark, "gY", "Voyager 1", "LAUNCHED_FROM",
+                           "Cape Canaveral",
+                           "Voyager 1 was launched from Cape Canaveral.",
+                           RUN_TS)
+    rows = edges.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "LAUNCHED_FROM"
+    assert r["source_node_uuid"] == rules.entity_uuid("gY", "Voyager 1")
+    assert r["target_node_uuid"] == rules.entity_uuid("gY", "Cape Canaveral")
+    assert r["valid_at"] is not None
+    with pytest.raises(ValueError):
+        MT.add_triplet(spark, "gY", "X", "SELF", "X", "X is X.", RUN_TS)
+
+
+def test_remove_episodes_keeps_null_provenance_edges(spark, tables):
+    """An edge with null/empty `episodes` (manually inserted) is unrelated
+    to any episode removal and must be kept."""
+    episodes, entities, epi_edges, _ = tables
+    edges = spark.createDataFrame(
+        [("e1", "g1", "alice", "acme", ["ep1"]),
+         ("manual", "g1", "alice", "acme", None),
+         ("empty", "g1", "alice", "acme", [])],
+        "uuid string, group_id string, source_node_uuid string,"
+        " target_node_uuid string, episodes array<string>")
+    out = MT.remove_episodes(episodes, epi_edges, entities, edges, ["ep1"])
+    assert {r["uuid"] for r in out["edges"].collect()} == {"manual", "empty"}
+
+
 def test_incremental_update_touched_groups_only(spark):
     schema = ("conv_id string, turn_idx int, role string, text string,"
               " tool string, ts timestamp")
