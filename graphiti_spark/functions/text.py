@@ -135,16 +135,45 @@ def char_ngrams(text: str, n: int = 5) -> list[str]:
     return [s[i:i + n] for i in range(len(s) - n + 1)]
 
 
-def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
-    """Winnowing-style document fingerprint: min hash per sliding window of
-    char n-gram hashes, deduped, first `keep`*... (deterministic)."""
+def md5_hex8(s: str) -> str:
+    """First 8 hex chars of md5 — the engine-portable hash (md5 exists in
+    Spark SQL and DuckDB alike, so driver oracles can recompute it in pure
+    SQL; fixed-width hex compares lexicographically == numerically)."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[:8]
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[str]:
+    """Winnowing-style document fingerprint: md5-hex8 per char n-gram,
+    min per non-overlapping window of hashes, deduped, sorted, first
+    ``keep * 8``. md5-based so the driver's DuckDB oracle can recompute
+    it (SQL_DOC_FINGERPRINT in queries.py)."""
     grams = char_ngrams(text, n=window)
     if not grams:
         return []
-    hs = [token_hash64(g) % (1 << 32) for g in grams]
+    hs = [md5_hex8(g) for g in grams]
     w = max(1, window)
     mins = {min(hs[i:i + w]) for i in range(0, max(1, len(hs) - w + 1), w)}
     return sorted(mins)[: keep * 8]
+
+
+def simhash16_md5(tokens: list[str]) -> int:
+    """16-bit SimHash over a token multiset with bit_i = high bit of md5
+    hex nibble i — chosen so a SQL oracle can recompute it as
+    ``substr(md5(tok), i+1, 1) IN ('8'..'f')``. The 64-bit
+    :func:`simhash64` stays the engine-internal variant."""
+    if not tokens:
+        return 0
+    acc = [0] * 16
+    high = set("89abcdef")
+    for t in tokens:
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        for i in range(16):
+            acc[i] += 1 if h[i] in high else -1
+    v = 0
+    for i in range(16):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v
 
 
 # ---------------------------------------------------------------------------

@@ -117,22 +117,29 @@ def ivf_knn(embeddings: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k))
 
 
+#: hex digits with odd low bit — h(i,j) = +1 iff the last md5 hex digit of
+#: "i:j" is odd. md5 parity (not crc32) so a DuckDB oracle can recompute
+#: the identical planes (SQL_EMBEDDING_NEAR_DUP in queries.py).
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+
 def signlsh_buckets(embeddings: DataFrame, n_planes: int = 16,
                     id_col: str = "vec_id", emb_col: str = "embedding"
                     ) -> DataFrame:
-    """Random-hyperplane LSH bucket key per vector: bit_i = sign(Σ_j v_j ·
-    h(i,j)) with h a deterministic ±1 hash — cosine-similar vectors share
-    buckets w.h.p. Returns (id, bucket)."""
-    # hyperplane component h(i,j) = ±1 from crc32(i:j) parity — computed
-    # JVM-side, no stored plane matrix.
+    """Random-hyperplane LSH bucket key per vector: bit_i = sign(Σ_j qv_j ·
+    h(i,j)) with h a deterministic ±1 md5-parity hash and qv the
+    integer-quantized vector (×1000) — integer sums are order-independent
+    and engine-exact, so the bucket key is reproducible in any engine.
+    Cosine-similar vectors share buckets w.h.p. Returns (id, bucket)."""
     bits = []
     for i in range(n_planes):
         proj = F.expr(
-            "aggregate(zip_with({v}, sequence(0, size({v}) - 1),"
-            " (x, j) -> CAST(x AS DOUBLE) * (CAST(pmod(crc32(CAST"
-            "(concat('{i}:', j) AS BINARY)), 2) AS DOUBLE) * 2 - 1)),"
-            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)".format(
-                v=emb_col, i=i))
+            "aggregate(zip_with({qv}, sequence(0, size({v}) - 1),"
+            " (x, j) -> x * (CASE WHEN substring(md5(CAST(concat('{i}:',"
+            " CAST(j AS STRING)) AS BINARY)), 32, 1) IN {odd}"
+            " THEN 1 ELSE -1 END)),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t)".format(
+                qv=_qvec(emb_col), v=emb_col, i=i, odd=_ODD_HEX))
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return embeddings.select(F.col(id_col),
                              F.concat(*bits).alias("bucket"))

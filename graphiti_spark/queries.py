@@ -412,22 +412,37 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
+JACCARD_MAX_DF = 100   # stop-token cap: tokens in more docs than this are
+                       # excluded from the similarity vocabulary
+
+
 def q_dedup_jaccard(spark, sf_dir):
-    """N-gram (token-set) Jaccard near-dup pairs ≥ 0.5 over a sampled
-    slice: token equi-join blocking → shared-count agg → exact Jaccard.
-    (The same blocking-join shape as J1 candidate generation.)"""
+    """Token-set Jaccard near-dup pairs ≥ 0.5 over a sampled slice: token
+    equi-join blocking → shared-count agg → exact Jaccard over the
+    stop-token-filtered vocabulary. Tokens appearing in > JACCARD_MAX_DF
+    docs are dropped from BOTH the blocking join and the token sets —
+    without the cap a stop token shared by millions of docs makes the
+    self-join quadratic at 100 TB (same guard as operators/dedup.py
+    MAX_BLOCK, expressed as a df-frequency filter so the SQL oracle can
+    mirror it exactly)."""
     d = (load(spark, sf_dir, "documents")
          .where(F.col("doc_id") % 5 == 0)
          .select("doc_id", F.array_distinct(F.expr(_TOKS)).alias("toks")))
-    d = d.withColumn("n_toks", F.size("toks").cast("bigint"))
-    ex = d.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"),
-                  "tok")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"),
-                  "tok")
+    ex = d.select("doc_id", F.explode("toks").alias("tok"))
+    keep = (ex.groupBy("tok").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= JACCARD_MAX_DF).select("tok"))
+    ex = ex.join(keep, "tok")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "tok")
     pairs = (a.join(b, "tok").where(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b", "na", "nb")
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("shared")))
+    pairs = (pairs
+             .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_toks").alias("na")), "doc_a")
+             .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n_toks").alias("nb")), "doc_b"))
     jac = (F.col("shared").cast("double")
            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"))
     return (pairs.withColumn("jaccard", jac)
@@ -435,23 +450,32 @@ def q_dedup_jaccard(spark, sf_dir):
             .select("doc_a", "doc_b", "jaccard"))
 
 
-SQL_DEDUP_JACCARD = """
+SQL_DEDUP_JACCARD = f"""
 WITH d AS (
   SELECT doc_id,
          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
   FROM documents WHERE doc_id % 5 = 0
+), ex0 AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+), keep AS (
+  SELECT tok FROM ex0 GROUP BY tok HAVING count(*) <= {JACCARD_MAX_DF}
 ), ex AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, unnest(toks) AS tok
-  FROM d
+  SELECT doc_id, ex0.tok FROM ex0 JOIN keep ON ex0.tok = keep.tok
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM ex GROUP BY doc_id
 ), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n_toks AS na, b.n_toks AS nb, count(*) AS shared
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2
+), sized AS (
+  SELECT p.doc_a, p.doc_b, p.shared, sa.n_toks AS na, sb.n_toks AS nb
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
 )
 SELECT doc_a, doc_b,
        CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
-FROM pairs
+FROM sized
 WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
 """
 
@@ -771,43 +795,133 @@ def q_embedding_knn_ivf(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates via sign-LSH buckets
-    (random-hyperplane SimHash) — bucket equi-join, no O(n²)."""
+    (random-hyperplane SimHash over the integer-quantized vector,
+    md5-parity planes) — bucket equi-join, no O(n²). Oracle recomputes the
+    identical buckets in SQL (planes are md5-derived, sums integer-exact)."""
     from graphiti_spark.operators import ann
     return ann.near_dup_pairs_lsh(load(spark, sf_dir, "embeddings"),
                                   n_planes=10)
 
 
+def _near_dup_bit_sql(i: int) -> str:
+    """One sign-LSH bit as DuckDB SQL — mirrors ann.signlsh_buckets
+    (plane h(i,j) = ±1 from md5('i:j') last-hex-digit parity)."""
+    return (
+        "CASE WHEN list_sum(list_transform(range(1, 65), j -> qv[j] *"
+        f" (CASE WHEN substr(md5('{i}:' || CAST(j - 1 AS VARCHAR)), 32, 1)"
+        " IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)))"
+        " >= 0 THEN '1' ELSE '0' END")
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         {" || ".join(_near_dup_bit_sql(i) for i in range(10))} AS bucket
+  FROM q
+)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
-    """Winnowing-style document fingerprints (rolling-hash min-sampling)
-    via an Arrow-batched UDF; join-ready fingerprint string."""
+    """Winnowing-style document fingerprints (md5 rolling-hash
+    min-sampling) via an Arrow-batched UDF; join-ready fingerprint string.
+    md5-hex8 gram hashes so the oracle recomputes them in pure SQL."""
     from pyspark.sql import types as T
 
     from graphiti_spark.functions import text as tx
 
     @F.pandas_udf(T.StringType())
     def fp(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: ",".join(
-            format(h, "08x") for h in tx.rolling_fingerprint(t or "")))
+        return texts.map(lambda t: ",".join(tx.rolling_fingerprint(t or "")))
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fp(F.col("text")).alias("fingerprint"))
 
 
+SQL_DOC_FINGERPRINT = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+           AS s
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN length(s) < 8 THEN [s]
+              ELSE list_transform(range(1, length(s) - 6), i -> substr(s, i, 8))
+         END AS grams
+  FROM d
+), h AS (
+  SELECT doc_id, list_transform(grams, x -> substr(md5(x), 1, 8)) AS hs
+  FROM g
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(0, greatest(1, len(hs) - 7), 8),
+                                  i -> list_min(hs[i + 1 : i + 8]))
+         END AS mins
+  FROM h
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(mins))[1:32], ',')
+         AS fingerprint
+FROM m
+"""
+
+
 def q_simhash_buckets(spark, sf_dir):
-    """64-bit SimHash per document + 16-bit band buckets — near-dup
-    blocking for long documents."""
+    """16-bit md5-SimHash per document + 8-bit band buckets — near-dup
+    blocking for long documents. bit_i = sign of Σ ±1 over the token
+    multiset with the ±1 from md5 hex nibble i, so the oracle recomputes
+    the identical hash in SQL (SQL_SIMHASH_BUCKETS)."""
     from pyspark.sql import types as T
 
     from graphiti_spark.functions import text as tx
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(T.IntegerType())
     def sh(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: tx.simhash64(tx.tokenize(t or "")) - (1 << 63))
+            lambda t: tx.simhash16_md5(tx.tokenize(t or ""))).astype("int32")
 
     d = load(spark, sf_dir, "documents")
     return (d.select("doc_id", sh(F.col("text")).alias("simhash"))
-            .withColumn("band0", F.col("simhash") % 65536))
+            .withColumn("band0", (F.col("simhash") % 256).cast("int"))
+            .withColumn("band1", F.expr("simhash DIV 256").cast("int")))
+
+
+_SH_BITS = ",\n         ".join(
+    f"sum(CASE WHEN substr(h, {i + 1}, 1) IN"
+    " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)"
+    f" AS a{i}" for i in range(16))
+_SH_VAL = " + ".join(
+    f"CASE WHEN a{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+
+SQL_SIMHASH_BUCKETS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), hh AS (
+  SELECT doc_id, md5(tok) AS h FROM t
+), agg AS (
+  SELECT doc_id,
+         {_SH_BITS}
+  FROM hh GROUP BY doc_id
+), v AS (
+  SELECT doc_id, {_SH_VAL} AS simhash FROM agg
+)
+SELECT d.doc_id,
+       CAST(coalesce(v.simhash, 0) AS INTEGER) AS simhash,
+       CAST(coalesce(v.simhash, 0) % 256 AS INTEGER) AS band0,
+       CAST(coalesce(v.simhash, 0) // 256 AS INTEGER) AS band1
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
 
 
 QUERIES = {
@@ -865,5 +979,10 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "simhash_buckets": SQL_SIMHASH_BUCKETS,
     # kg_build_edges: iterative CC → no SQL oracle (rows-only check).
+    # embedding_knn_ivf: iterative Lloyd step → rows-only; pytest asserts
+    # recall vs brute force and exactness at nprobe=n_cells.
 }
