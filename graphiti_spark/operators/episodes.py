@@ -45,13 +45,26 @@ def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
     the read path is :func:`retrieve_episodes`.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    content = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    # EpisodeType routing (``nodes.py:45-70``): an optional `source` column
+    # on the transcripts selects the episode kind per row; 'message'
+    # content is "role: text", 'text'/'json' pass the payload through
+    # verbatim (the reference formats only message episodes,
+    # ``bulk_utils.py:57-63`` RawEpisode.content is raw otherwise).
+    if "source" in transcripts.columns:
+        source = F.coalesce(F.col("source"), F.lit("message"))
+    else:
+        source = F.lit("message")
+    msg_content = F.concat_ws(": ", F.col("role"),
+                              F.coalesce(F.col("text"), F.lit("")))
+    content = F.when(source == "message", msg_content) \
+               .otherwise(F.coalesce(F.col("text"), F.lit("")))
     prev_ctx = (F.collect_list("content")
                  .over(w.rowsBetween(-EPISODE_WINDOW_LEN, -1))
                 if include_context
                 else F.array().cast("array<string>"))
     return (
         transcripts
+        .withColumn("_source", source)
         .withColumn("content", content)
         .withColumn("prev_context", prev_ctx)
         .select(
@@ -60,7 +73,7 @@ def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
             F.concat_ws("-", F.col("conv_id"),
                         F.col("turn_idx").cast("string")).alias("name"),
             F.col("conv_id").alias("group_id"),
-            F.lit("message").alias("source"),
+            F.col("_source").alias("source"),
             F.coalesce(F.col("tool"), F.lit("")).alias("source_description"),
             F.col("content"),
             F.col("ts").alias("valid_at"),

@@ -37,8 +37,10 @@ EMBED_DIM = tx.EMBED_DIM
 
 
 @F.pandas_udf(T.ArrayType(MENTION))
-def extract_mentions_udf(content: pd.Series) -> pd.Series:
-    return content.map(lambda c: rules.extract_mentions(c or ""))
+def extract_mentions_udf(content: pd.Series, source: pd.Series) -> pd.Series:
+    return pd.Series(
+        [rules.extract_mentions(c or "", s or rules.SOURCE_MESSAGE)
+         for c, s in zip(content, source)], dtype=object)
 
 
 # Combined single-pass extraction: mentions + triples from one scan of the
@@ -50,13 +52,15 @@ COMBINED = T.StructType([
 
 
 @F.pandas_udf(COMBINED)
-def extract_all_udf(content: pd.Series, ts: pd.Series) -> pd.DataFrame:
+def extract_all_udf(content: pd.Series, ts: pd.Series,
+                    source: pd.Series) -> pd.DataFrame:
     mentions, triples = [], []
-    for c, t in zip(content, ts):
+    for c, t, s in zip(content, ts, source):
         c = c or ""
-        mentions.append(rules.extract_mentions(c))
+        s = s or rules.SOURCE_MESSAGE
+        mentions.append(rules.extract_mentions(c, s))
         t_aware = None if pd.isna(t) else pd.Timestamp(t).tz_localize("UTC")
-        rows = rules.extract_triples(c, t_aware)
+        rows = rules.extract_triples(c, t_aware, s)
         triples.append([
             {**r, "valid_at": _naive_utc(r["valid_at"]),
              "invalid_at": _naive_utc(r["invalid_at"])}
@@ -74,11 +78,13 @@ def _naive_utc(dt) -> datetime | None:
 
 
 @F.pandas_udf(T.ArrayType(TRIPLE))
-def extract_triples_udf(content: pd.Series, ts: pd.Series) -> pd.Series:
+def extract_triples_udf(content: pd.Series, ts: pd.Series,
+                        source: pd.Series) -> pd.Series:
     out = []
-    for c, t in zip(content, ts):
+    for c, t, s in zip(content, ts, source):
         t_aware = None if pd.isna(t) else pd.Timestamp(t).tz_localize("UTC")
-        rows = rules.extract_triples(c or "", t_aware)
+        rows = rules.extract_triples(c or "", t_aware,
+                                     s or rules.SOURCE_MESSAGE)
         out.append([
             {**r, "valid_at": _naive_utc(r["valid_at"]),
              "invalid_at": _naive_utc(r["invalid_at"])}
@@ -104,8 +110,8 @@ def extract_combined(episodes: DataFrame) -> DataFrame:
     return (episodes
             .select("group_id", F.col("uuid").alias("episode_uuid"),
                     "turn_idx", "valid_at",
-                    extract_all_udf(F.col("content"),
-                                    F.col("valid_at")).alias("x")))
+                    extract_all_udf(F.col("content"), F.col("valid_at"),
+                                    F.col("source")).alias("x")))
 
 
 def mentions_from_combined(combined: DataFrame) -> DataFrame:
@@ -138,7 +144,8 @@ def extract_mentions(episodes: DataFrame) -> DataFrame:
     mention per episode."""
     return (
         episodes
-        .withColumn("m", F.explode(extract_mentions_udf(F.col("content"))))
+        .withColumn("m", F.explode(extract_mentions_udf(F.col("content"),
+                                                        F.col("source"))))
         .select(
             "group_id",
             F.col("uuid").alias("episode_uuid"),
@@ -187,7 +194,8 @@ def extract_edges(episodes: DataFrame, run_ts: datetime) -> DataFrame:
     t = (
         episodes
         .withColumn("t", F.explode(extract_triples_udf(F.col("content"),
-                                                       F.col("valid_at"))))
+                                                       F.col("valid_at"),
+                                                       F.col("source"))))
         .select("group_id", F.col("uuid").alias("episode_uuid"), "turn_idx",
                 "t.subj", "t.pred", "t.obj", "t.fact",
                 F.col("t.valid_at").alias("valid_at"),

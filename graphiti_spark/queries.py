@@ -766,6 +766,64 @@ SELECT conv_id, 1 AS turn_idx, place AS name, 'Place' AS entity_type_id
 """
 
 
+def derived_json_transcripts(spark, sf_dir):
+    """Deterministic EpisodeType.json transcripts from customer ⋈ nation:
+    one structured episode per customer, `text` = a JSON object whose
+    fields drive the json extraction contract (rules.parse_json_episode)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                F.col("c_custkey"),
+                F.regexp_replace("c_name", "#", "").alias("person"),
+                F.col("n_name").alias("org"),
+                F.initcap(F.lower("c_mktsegment")).alias("place")))
+    payload = F.concat(
+        F.lit('{"name": "'), F.col("person"),
+        F.lit('", "employer": "'), F.col("org"),
+        F.lit('", "city": "'), F.col("place"), F.lit('"}'))
+    return base.select(
+        F.concat(F.lit("jconv"), F.col("c_custkey").cast("string"))
+         .alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("json").alias("source"))
+
+
+def q_kg_json_episodes(spark, sf_dir):
+    """F10/S1: EpisodeType.json ingestion — structured episodes through the
+    real extraction UDFs (source-branched, rules.extract_triples
+    source='json'); oracle reconstructs the field→triple contract in SQL."""
+    from graphiti_spark.operators.episodes import assemble_episodes
+    from graphiti_spark.operators.extract import extract_edges
+    tr = derived_json_transcripts(spark, sf_dir)
+    eps = assemble_episodes(tr, RUN_TS)
+    raw = extract_edges(eps, RUN_TS)
+    return raw.select(F.col("group_id").alias("conv_id"),
+                      "subj", "pred", "obj", "valid_at")
+
+
+SQL_KG_JSON_EPISODES = """
+WITH base AS (
+  SELECT 'jconv' || CAST(c_custkey AS VARCHAR) AS conv_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT conv_id, person AS subj, 'EMPLOYER' AS pred, org AS obj,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_at
+FROM base
+UNION ALL
+SELECT conv_id, person AS subj, 'CITY' AS pred, place AS obj,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_at
+FROM base
+"""
+
+
 def q_kg_build_edges(spark, sf_dir):
     """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
     dedup → temporal versioning) over derived transcripts with planted
@@ -948,6 +1006,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
+    "kg_json_episodes": q_kg_json_episodes,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -979,6 +1038,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
+    "kg_json_episodes": SQL_KG_JSON_EPISODES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,

@@ -23,6 +23,7 @@ Rule summary (mirroring the reference prompt contracts):
 from __future__ import annotations
 
 import hashlib
+import json
 import re
 from datetime import datetime, timezone
 
@@ -129,16 +130,63 @@ def sentences(body: str) -> list[str]:
 
 _GENERIC_SPEAKERS = frozenset({"user", "assistant", "tool", "system"})
 
+# Episode source kinds (EpisodeType, ``nodes.py:45-70``): 'message' content
+# is "actor: content"; 'text' is plain prose (no speaker); 'json' is a
+# structured object.
+SOURCE_MESSAGE = "message"
+SOURCE_TEXT = "text"
+SOURCE_JSON = "json"
 
-def extract_mentions(content: str) -> list[dict]:
+_NAME_FULL = re.compile(rf"^{_NAME}$")
+
+
+def _pred_from_key(key: str) -> str:
+    """JSON field name → SCREAMING_SNAKE_CASE predicate
+    (``prompts/extract_edges.py:20-38`` predicate convention)."""
+    return re.sub(r"[^A-Za-z0-9]+", "_", key).strip("_").upper()
+
+
+def parse_json_episode(content: str) -> tuple[str | None, list[tuple[str, str]]]:
+    """→ (subject_name, [(field_key, value_name), ...]).
+
+    Deterministic contract for ``EpisodeType.json`` episodes (reference
+    branch ``node_operations.py:123-126`` feeds the raw JSON to the
+    extract_json prompt; our rule): the top-level ``name`` field is the
+    subject entity; every other top-level string field whose value is a
+    capitalized span is an entity mention and yields a triple
+    ``(name, UPPER(key), value)``. Nested objects/arrays are ignored.
+    Malformed JSON extracts nothing (the reference's LLM would warn-skip).
+    """
+    try:
+        obj = json.loads(content or "")
+    except (ValueError, TypeError):
+        return None, []
+    if not isinstance(obj, dict):
+        return None, []
+    subject = obj.get("name")
+    if not isinstance(subject, str) or not clean_text(subject):
+        return None, []
+    pairs = []
+    for k, v in obj.items():
+        if k == "name" or not isinstance(v, str):
+            continue
+        v = clean_text(v)
+        if v and _NAME_FULL.match(v):
+            pairs.append((k, v))
+    return clean_text(subject), pairs
+
+
+def extract_mentions(content: str, source: str = SOURCE_MESSAGE) -> list[dict]:
     """content -> ordered distinct mentions [{name, entity_type_id}].
 
     Deterministic stand-in for ``extract_nodes``
-    (``node_operations.py:69-175``): speaker first, then fact-slot
-    entities in textual order; empty names filtered; pronouns never
-    matched (templates only match capitalized spans).
+    (``node_operations.py:69-175``), branched by episode source like the
+    reference's extract_message/extract_text/extract_json prompts
+    (``node_operations.py:110-126``): message = speaker first, then
+    fact-slot entities; text = fact-slot entities only (no speaker
+    contract); json = subject ('name' field) first, then capitalized
+    field values. Empty names filtered; pronouns never matched.
     """
-    speaker, body = split_speaker(content)
     seen: dict[str, dict] = {}
 
     def add(name: str, type_id: str) -> None:
@@ -149,6 +197,18 @@ def extract_mentions(content: str) -> list[dict]:
         if key not in seen:
             seen[key] = {"name": name, "entity_type_id": type_id}
 
+    if source == SOURCE_JSON:
+        subject, pairs = parse_json_episode(content)
+        if subject:
+            add(subject, TYPE_ENTITY)
+        for _k, v in pairs:
+            add(v, TYPE_ENTITY)
+        return list(seen.values())
+
+    if source == SOURCE_TEXT:
+        speaker, body = "", (content or "").strip()
+    else:
+        speaker, body = split_speaker(content)
     if speaker and speaker.lower() not in _GENERIC_SPEAKERS:
         add(speaker, TYPE_SPEAKER)
     for sent in sentences(body):
@@ -161,7 +221,8 @@ def extract_mentions(content: str) -> list[dict]:
     return list(seen.values())
 
 
-def extract_triples(content: str, ts: datetime | None) -> list[dict]:
+def extract_triples(content: str, ts: datetime | None,
+                    source: str = SOURCE_MESSAGE) -> list[dict]:
     """content + episode ts -> fact triples.
 
     Deterministic stand-in for ``extract_edges``
@@ -170,9 +231,32 @@ def extract_triples(content: str, ts: datetime | None) -> list[dict]:
     or None). Negation sentences emit a row with ``invalid_at = ts`` and
     ``valid_at = None`` — consumed by temporal versioning (T1/T2).
     Self-pairs are skipped (``edge_operations.py:73-74``).
+
+    ``source='json'``: each capitalized top-level field value yields
+    ``(name, UPPER(key), value)`` with ``valid_at = ts`` and ``fact`` a
+    canonical "<subj> <key>: <value>" rendering. ``source='text'``: the
+    sentence templates run over the whole content (no speaker split).
     """
-    _speaker, body = split_speaker(content)
-    out: list[dict] = []
+    if source == SOURCE_JSON:
+        subject, pairs = parse_json_episode(content)
+        out: list[dict] = []
+        if subject is None:
+            return out
+        for k, v in pairs:
+            if normalize_name(subject) == normalize_name(v):
+                continue
+            out.append({
+                "subj": subject, "pred": _pred_from_key(k), "obj": v,
+                "fact": f"{subject} {k}: {v}", "valid_at": ts,
+                "invalid_at": None,
+            })
+        return out
+
+    if source == SOURCE_TEXT:
+        body = (content or "").strip()
+    else:
+        _speaker, body = split_speaker(content)
+    out = []
     for sent in sentences(body):
         for pat, pred, mode, _t_a, _t_b in _PATTERNS:
             m = pat.match(sent)

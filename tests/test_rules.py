@@ -62,6 +62,44 @@ def test_triples_multi_sentence():
     assert [(r["pred"]) for r in t] == ["WORKS_AT", "LIVES_IN"]
 
 
+def test_json_episode_extraction():
+    """EpisodeType.json contract: 'name' field = subject, capitalized
+    string fields → (name, UPPER(key), value) triples + mentions."""
+    doc = ('{"name": "Jane Doe", "employer": "Acme Corp", "city": "Paris",'
+           ' "age": 33, "note": "lowercase ignored",'
+           ' "team": {"nested": "ignored"}}')
+    m = rules.extract_mentions(doc, source=rules.SOURCE_JSON)
+    assert [x["name"] for x in m] == ["Jane Doe", "Acme Corp", "Paris"]
+    t = rules.extract_triples(doc, TS, source=rules.SOURCE_JSON)
+    assert {(r["subj"], r["pred"], r["obj"]) for r in t} == {
+        ("Jane Doe", "EMPLOYER", "Acme Corp"),
+        ("Jane Doe", "CITY", "Paris")}
+    assert all(r["valid_at"] == TS for r in t)
+    # malformed / non-object / missing-name JSON extracts nothing
+    assert rules.extract_triples("not json", TS, source=rules.SOURCE_JSON) == []
+    assert rules.extract_triples("[1,2]", TS, source=rules.SOURCE_JSON) == []
+    assert rules.extract_triples('{"employer": "Acme"}', TS,
+                                 source=rules.SOURCE_JSON) == []
+
+
+def test_text_episode_extraction():
+    """EpisodeType.text: templates run over raw prose — no speaker split,
+    so a leading 'Name:' is not stripped and colons in prose are safe."""
+    t = rules.extract_triples("Alice works at Acme Corp.", TS,
+                              source=rules.SOURCE_TEXT)
+    assert [(r["subj"], r["pred"], r["obj"]) for r in t] == \
+        [("Alice", "WORKS_AT", "Acme Corp")]
+    m = rules.extract_mentions("Alice works at Acme Corp.",
+                               source=rules.SOURCE_TEXT)
+    assert [x["name"] for x in m] == ["Alice", "Acme Corp"]
+    # same content as a 'message' episode would treat 'Alice' as speaker
+    # and the rest as body — text must not
+    msg = rules.extract_triples("Alice: Alice works at Acme Corp.", TS)
+    txt = rules.extract_triples("Alice works at Acme Corp.", TS,
+                                source=rules.SOURCE_TEXT)
+    assert msg[0]["subj"] == txt[0]["subj"] == "Alice"
+
+
 def test_node_duplicate_rules():
     assert rules.node_is_duplicate("Bob", "Bob Smith", 0.0)     # alias subset
     assert rules.node_is_duplicate("bob  smith", "Bob Smith", 0.0)
