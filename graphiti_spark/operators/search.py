@@ -34,6 +34,7 @@ MAX_SEARCH_DEPTH = 3          # search_utils.py:61
 DEFAULT_SEARCH_LIMIT = 10     # search_config.py:29
 DEFAULT_MIN_SCORE = 0.6       # search_utils.py:59
 MMR_LAMBDA = 0.5              # search_config.py defaults
+MAX_MMR_CANDIDATES = 4096     # driver-side greedy MMR collect guard
 
 
 def tokens_col(col) -> F.Column:
@@ -58,7 +59,9 @@ def bm25_lite_search(df: DataFrame, text_col: str, query: str,
     if not q_tokens:
         return df.select(F.col(id_col).alias("uuid")).limit(0) \
                  .withColumn("score", F.lit(0.0))
-    n_docs = df.count()
+    # Corpus size folded into the plan as a 1-row broadcast aggregate —
+    # no separate count() action/scan per search call.
+    n_docs_df = df.select(F.count("*").cast("double").alias("_n_docs"))
     toks = (df.select(id_col, F.explode(tokens_col(F.col(text_col)))
                       .alias("tok")))
     qdf = toks.sparkSession.createDataFrame(
@@ -67,8 +70,9 @@ def bm25_lite_search(df: DataFrame, text_col: str, query: str,
           .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
     df_freq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
     scored = (tf.join(F.broadcast(df_freq), "tok")
+              .crossJoin(F.broadcast(n_docs_df))
               .withColumn("idf", F.log(
-                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  (F.col("_n_docs") - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))
               .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1))
                           / (F.col("tf") + k1))
@@ -200,6 +204,29 @@ def node_distance_reranker(edges: DataFrame, candidates: DataFrame,
             .orderBy(F.col("score").desc(), "uuid"))
 
 
+def cross_encoder_rank(df: DataFrame, text_col: str, query: str,
+                       id_col: str = "uuid") -> DataFrame:
+    """Q7 ``cross_encoder`` reranker stand-in.
+
+    The reference ranks passages against the query with an external
+    cross-encoder model (``cross_encoder/client.py:30-44``, dispatched at
+    ``search/search.py:254-260``). The deterministic offline replacement is
+    a lexical-overlap scorer: score = |query_toks ∩ passage_toks| /
+    |query_toks| — monotone in shared-vocabulary coverage, computed
+    entirely JVM-side (whole-stage codegen, no Python)."""
+    q_tokens = sorted({t for t in
+                       "".join(c.lower() if c.isalnum() else " "
+                               for c in query).split() if t})
+    spark = df.sparkSession
+    if not q_tokens:
+        return spark.createDataFrame([], "uuid string, score double")
+    q_arr = F.array(*[F.lit(t) for t in q_tokens])
+    score = (F.size(F.array_intersect(tokens_col(F.col(text_col)), q_arr))
+             .cast("double") / F.lit(float(len(q_tokens))))
+    return (df.select(F.col(id_col).alias("uuid"), score.alias("score"))
+            .orderBy(F.col("score").desc(), "uuid"))
+
+
 def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
                mmr_lambda: float = MMR_LAMBDA,
                limit: int = DEFAULT_SEARCH_LIMIT) -> DataFrame:
@@ -209,8 +236,15 @@ def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
     import numpy as np
     import pandas as pd
 
+    # Driver-side greedy selection is only valid on bounded candidate sets
+    # (the reference reranks ≤ 2×limit rows). Guard the collect so a caller
+    # passing an unbounded DataFrame fails loudly instead of OOMing.
     rows = (candidates.select("uuid", emb_col)
-            .toPandas())   # bounded: candidates are already top-2k
+            .limit(MAX_MMR_CANDIDATES + 1).toPandas())
+    if len(rows) > MAX_MMR_CANDIDATES:
+        raise ValueError(
+            f"mmr_rerank got > {MAX_MMR_CANDIDATES} candidates; "
+            "pre-truncate with a cheap scorer before MMR")
     if rows.empty:
         return candidates.sparkSession.createDataFrame(
             [], "uuid string, score double")
@@ -307,13 +341,49 @@ class SearchConfig:
     bfs_depth: int = MAX_SEARCH_DEPTH
 
 
-EDGE_HYBRID_RRF = SearchConfig(["bm25", "cosine"], "rrf")
-EDGE_HYBRID_MMR = SearchConfig(["bm25", "cosine"], "mmr")
-EDGE_HYBRID_BFS_RRF = SearchConfig(["bm25", "cosine", "bfs"], "rrf")
-NODE_HYBRID_RRF = SearchConfig(["bm25", "cosine"], "rrf")
-NODE_HYBRID_MENTIONS = SearchConfig(["bm25", "cosine"], "episode_mentions")
-NODE_HYBRID_DISTANCE = SearchConfig(["bm25", "cosine"], "node_distance")
-COMBINED_HYBRID_RRF = SearchConfig(["bm25", "cosine"], "rrf")
+# Search recipes (Q9) — the full preset family of
+# ``search/search_config_recipes.py:34-223``, one per reference name.
+# COMBINED_* applies the reranker across every layer; EDGE_/NODE_ include
+# the bfs method like the reference's edge/node configs; COMMUNITY_ has no
+# graph methods (communities aren't vertices of the RELATES_TO graph).
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig(["bm25", "cosine"], "rrf")
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig(["bm25", "cosine"], "mmr")
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    ["bm25", "cosine"], "cross_encoder")
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(["bm25", "cosine", "bfs"], "rrf")
+EDGE_HYBRID_SEARCH_MMR = SearchConfig(["bm25", "cosine", "bfs"], "mmr")
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    ["bm25", "cosine", "bfs"], "node_distance")
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    ["bm25", "cosine", "bfs"], "episode_mentions")
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    ["bm25", "cosine", "bfs"], "cross_encoder")
+NODE_HYBRID_SEARCH_RRF = SearchConfig(["bm25", "cosine", "bfs"], "rrf")
+NODE_HYBRID_SEARCH_MMR = SearchConfig(["bm25", "cosine", "bfs"], "mmr")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    ["bm25", "cosine", "bfs"], "node_distance")
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    ["bm25", "cosine", "bfs"], "episode_mentions")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    ["bm25", "cosine", "bfs"], "cross_encoder")
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(["bm25", "cosine"], "rrf")
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(["bm25", "cosine"], "mmr")
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    ["bm25", "cosine"], "cross_encoder")
+
+SEARCH_RECIPES = {
+    name: obj for name, obj in list(globals().items())
+    if isinstance(obj, SearchConfig)
+}
+
+# back-compat aliases (round-1 names)
+EDGE_HYBRID_RRF = EDGE_HYBRID_SEARCH_RRF
+EDGE_HYBRID_MMR = EDGE_HYBRID_SEARCH_MMR
+EDGE_HYBRID_BFS_RRF = EDGE_HYBRID_SEARCH_RRF
+NODE_HYBRID_RRF = NODE_HYBRID_SEARCH_RRF
+NODE_HYBRID_MENTIONS = NODE_HYBRID_SEARCH_EPISODE_MENTIONS
+NODE_HYBRID_DISTANCE = NODE_HYBRID_SEARCH_NODE_DISTANCE
+COMBINED_HYBRID_RRF = COMBINED_HYBRID_SEARCH_RRF
 
 
 def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
@@ -362,6 +432,48 @@ def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
             union = union.unionByName(r)
         fused = node_distance_reranker(
             edges, union.dropDuplicates(["uuid"]), center_uuid)
+    elif config.reranker == "cross_encoder":
+        union = results[0]
+        for r in results[1:]:
+            union = union.unionByName(r)
+        cands = (union.dropDuplicates(["uuid"]).select("uuid")
+                 .join(df.select("uuid", text_col), "uuid"))
+        fused = cross_encoder_rank(cands, text_col, query)
     else:
         raise ValueError(f"unknown reranker {config.reranker}")
     return fused.limit(config.limit)
+
+
+def search_results_to_context_string(edges=None, nodes=None, episodes=None,
+                                     communities=None) -> str:
+    """Q10 — format a search result set into one LLM-context block
+    (``search/search_helpers.py:28-73`` contract: FACTS with their
+    valid/invalid dates — 'Present' when open — then ENTITIES, EPISODES,
+    COMMUNITIES as JSON lists inside tagged sections). Driver-side over
+    collected rows: result sets are bounded by the search limit."""
+    import json as _json
+
+    def _d(r):
+        return r.asDict() if hasattr(r, "asDict") else dict(r)
+
+    facts = [{"fact": e.get("fact"),
+              "valid_at": str(e.get("valid_at")),
+              "invalid_at": str(e.get("invalid_at") or "Present")}
+             for e in map(_d, edges or [])]
+    entities = [{"entity_name": n.get("name"), "summary": n.get("summary")}
+                for n in map(_d, nodes or [])]
+    eps = [{"source_description": e.get("source_description"),
+            "content": e.get("content")}
+           for e in map(_d, episodes or [])]
+    comms = [{"community_name": c.get("name"), "summary": c.get("summary")}
+             for c in map(_d, communities or [])]
+    return (
+        "FACTS and ENTITIES are the most relevant context for the current"
+        " conversation; COMMUNITIES are clusters of closely related"
+        " entities.\n"
+        "A fact is valid between its valid_at and invalid_at dates;"
+        " invalid_at \"Present\" means it still holds.\n"
+        f"<FACTS>\n{_json.dumps(facts, indent=12)}\n</FACTS>\n"
+        f"<ENTITIES>\n{_json.dumps(entities, indent=12)}\n</ENTITIES>\n"
+        f"<EPISODES>\n{_json.dumps(eps, indent=12)}\n</EPISODES>\n"
+        f"<COMMUNITIES>\n{_json.dumps(comms, indent=12)}\n</COMMUNITIES>\n")

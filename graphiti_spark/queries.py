@@ -663,6 +663,40 @@ WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 40
 """
 
 
+def q_cross_encoder_rerank(spark, sf_dir):
+    """Q7 cross_encoder reranker stand-in (operators/search.py
+    cross_encoder_rank): lexical-overlap score of each document vs a fixed
+    query, top-5 per source. The rank window is PARTITIONED (per source) —
+    bounded candidate lists, never a global single-task sort."""
+    d = load(spark, sf_dir, "documents")
+    q_arr = F.array(F.lit("spark"), F.lit("window"), F.lit("agg"),
+                    F.lit("join"))
+    toks = F.array_distinct(F.expr(_TOKS))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("overlap").desc(), "doc_id"))
+    return (d.select("source", "doc_id",
+                     F.size(F.array_intersect(toks, q_arr)).cast("int")
+                      .alias("overlap"))
+            .withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= 5))
+
+
+SQL_CROSS_ENCODER_RERANK = """
+WITH s AS (
+  SELECT source, doc_id,
+         CAST(len(list_intersect(
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+             ['spark', 'window', 'agg', 'join'])) AS INTEGER) AS overlap
+  FROM documents
+)
+SELECT source, doc_id, overlap, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+            ORDER BY overlap DESC, doc_id) AS INTEGER) AS rn
+  FROM s
+) WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG extraction through the real pandas UDFs (E1/E3) with a SQL oracle
 # ---------------------------------------------------------------------------
@@ -1004,6 +1038,7 @@ QUERIES = {
     "embedding_centroid": q_embedding_centroid,
     "token_count": q_token_count,
     "quality_filter": q_quality_filter,
+    "cross_encoder_rerank": q_cross_encoder_rerank,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
@@ -1036,6 +1071,7 @@ ORACLES = {
     "embedding_centroid": SQL_EMBEDDING_CENTROID,
     "token_count": SQL_TOKEN_COUNT,
     "quality_filter": SQL_QUALITY_FILTER,
+    "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,

@@ -123,6 +123,60 @@ def test_hybrid_search_rrf_end_to_end(spark, edges_df):
     assert len(rows) <= 3
 
 
+def test_cross_encoder_rank_lexical_overlap(spark, edges_df):
+    out = S.cross_encoder_rank(edges_df, "fact",
+                               "Alice Smith Acme").collect()
+    # e1 shares all 3 query tokens → score 1.0; e2 shares none → 0.0
+    scores = {r["uuid"]: r["score"] for r in out}
+    assert scores["e1"] == 1.0
+    assert scores["e2"] == 0.0
+    assert out[0]["uuid"] == "e1"
+    assert S.cross_encoder_rank(edges_df, "fact", "???").count() == 0
+
+
+def test_hybrid_search_cross_encoder(spark, edges_df):
+    qv = tx.embed_text("alice smith works at acme corp").tolist()
+    out = S.hybrid_search(
+        edges_df, "fact", "fact_embedding", "Alice Acme", qv,
+        config=S.COMBINED_HYBRID_SEARCH_CROSS_ENCODER).collect()
+    assert out and out[0]["uuid"] == "e1"
+
+
+def test_search_recipes_cover_reference_presets():
+    """Q9 — every reference preset name (search_config_recipes.py:34-223)
+    resolves to a SearchConfig with a dispatchable reranker."""
+    names = {
+        "COMBINED_HYBRID_SEARCH_RRF", "COMBINED_HYBRID_SEARCH_MMR",
+        "COMBINED_HYBRID_SEARCH_CROSS_ENCODER",
+        "EDGE_HYBRID_SEARCH_RRF", "EDGE_HYBRID_SEARCH_MMR",
+        "EDGE_HYBRID_SEARCH_NODE_DISTANCE",
+        "EDGE_HYBRID_SEARCH_EPISODE_MENTIONS",
+        "EDGE_HYBRID_SEARCH_CROSS_ENCODER",
+        "NODE_HYBRID_SEARCH_RRF", "NODE_HYBRID_SEARCH_MMR",
+        "NODE_HYBRID_SEARCH_NODE_DISTANCE",
+        "NODE_HYBRID_SEARCH_EPISODE_MENTIONS",
+        "NODE_HYBRID_SEARCH_CROSS_ENCODER",
+        "COMMUNITY_HYBRID_SEARCH_RRF", "COMMUNITY_HYBRID_SEARCH_MMR",
+        "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER",
+    }
+    assert names <= set(S.SEARCH_RECIPES)
+    rerankers = {"rrf", "mmr", "cross_encoder", "node_distance",
+                 "episode_mentions"}
+    assert all(S.SEARCH_RECIPES[n].reranker in rerankers for n in names)
+
+
+def test_search_results_to_context_string():
+    s = S.search_results_to_context_string(
+        edges=[{"fact": "Alice works at Acme", "valid_at": "2024-01-01",
+                "invalid_at": None}],
+        nodes=[{"name": "Alice", "summary": "Works at Acme."}],
+        episodes=[{"source_description": "", "content": "user: hi"}],
+        communities=[{"name": "Acme", "summary": "The Acme cluster."}])
+    assert "<FACTS>" in s and "</COMMUNITIES>" in s
+    assert "Present" in s            # open fact renders invalid_at=Present
+    assert "Alice works at Acme" in s and "The Acme cluster." in s
+
+
 def test_hybrid_search_with_bfs_method(spark, edges_df):
     qv = tx.embed_text("carol ceo acme").tolist()
     out = S.hybrid_search(
