@@ -134,7 +134,8 @@ def edges_from_combined(combined: DataFrame, run_ts) -> DataFrame:
          .select("group_id", "episode_uuid", "turn_idx",
                  "t.subj", "t.pred", "t.obj", "t.fact",
                  F.col("t.valid_at").alias("valid_at"),
-                 F.col("t.invalid_at").alias("invalid_at")))
+                 F.col("t.invalid_at").alias("invalid_at"),
+                 F.col("t.attributes").alias("attributes")))
     return _finish_raw_edges(t, run_ts)
 
 
@@ -199,7 +200,8 @@ def extract_edges(episodes: DataFrame, run_ts: datetime) -> DataFrame:
         .select("group_id", F.col("uuid").alias("episode_uuid"), "turn_idx",
                 "t.subj", "t.pred", "t.obj", "t.fact",
                 F.col("t.valid_at").alias("valid_at"),
-                F.col("t.invalid_at").alias("invalid_at"))
+                F.col("t.invalid_at").alias("invalid_at"),
+                F.col("t.attributes").alias("attributes"))
     )
     return _finish_raw_edges(t, run_ts)
 

@@ -51,10 +51,14 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
     Negation rows are deduped exactly (same invalid_at ts collapses).
     """
     is_neg = F.col("valid_at").isNull() & F.col("invalid_at").isNotNull()
-    df = edges_raw.withColumn("_neg", is_neg)
+    has_attrs = "attributes" in edges_raw.columns
+    attrs = (F.col("attributes") if has_attrs
+             else F.create_map().cast("map<string,string>"))
+    df = (edges_raw.withColumn("_neg", is_neg)
+          .withColumn("_attrs", attrs))
     # Flat ordering struct: comparison short-circuits at the unique uuid,
-    # so the payload fields (fact/subj/obj) ride along without ever being
-    # compared — one cheap min() instead of a nested-struct aggregate.
+    # so the payload fields (fact/subj/obj/attrs) ride along without ever
+    # being compared — one cheap min() instead of a nested-struct aggregate.
     first_struct = F.struct(
         F.coalesce(F.col("valid_at"), F.col("invalid_at")).alias("t"),
         F.col("turn_idx").alias("ti"),
@@ -64,16 +68,25 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
         F.col("obj").alias("obj"))
     # Negation rows with distinct timestamps stay distinct — merging them to
     # a min would lose later "no longer ..." statements; only exact repeats
-    # collapse. Positive rows merge per (group, src, pred, dst).
+    # collapse. Positive rows merge per (group, src, pred, dst); an
+    # EXPLICIT invalid_at on a positive row ("... until <date>") is kept
+    # aside for the merge (earliest explicit date wins) rather than used
+    # as a grouping key.
     grp = ["group_id", "source_node_uuid", "pred", "target_node_uuid",
            "_neg", "invalid_at"]
     merged = (
-        df.withColumn("invalid_at",
-                      F.when(is_neg, F.col("invalid_at")).otherwise(F.lit(None)))
+        df.withColumn("_exp_invalid",
+                      F.when(~is_neg, F.col("invalid_at")))
+        .withColumn("invalid_at",
+                    F.when(is_neg, F.col("invalid_at")).otherwise(F.lit(None)))
         .groupBy(*grp)
         .agg(
             F.min(first_struct).alias("first"),
+            # maps are not orderable, so attrs can't ride in the struct —
+            # min_by picks the same first-row's map
+            F.min_by("_attrs", first_struct).alias("_first_attrs"),
             F.min("valid_at").alias("valid_at"),
+            F.min("_exp_invalid").alias("_exp_invalid"),
             F.min("created_at").alias("created_at"),
             F.array_sort(F.array_distinct(
                 F.collect_list("episode_uuid"))).alias("episodes"),
@@ -86,7 +99,10 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
         F.col("first.fact").alias("fact"),
         F.col("first.subj").alias("subj"),
         F.col("first.obj").alias("obj"),
-        "episodes", "created_at", "valid_at", "invalid_at", "_neg",
+        F.col("_first_attrs").alias("attributes"),
+        "episodes", "created_at", "valid_at",
+        F.coalesce("invalid_at", "_exp_invalid").alias("invalid_at"),
+        "_neg",
     )
 
 

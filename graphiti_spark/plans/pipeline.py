@@ -138,9 +138,10 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     def build_edges():
         remapped = dedup.resolve_edge_pointers(edges_raw, uuid_map)
         deduped = versioning.dedupe_edges(remapped)
-        versioned = versioning.apply_versioning(deduped, run_ts)
-        out = versioned.withColumn(
-            "attributes", F.create_map().cast("map<string,string>"))
+        # E4 typed attributes flow from the extraction rules (template
+        # slots like FOUNDED year, temporal adjuncts, JSON field names)
+        # through dedup (first-resolved-edge's map wins) — not overwritten.
+        out = versioning.apply_versioning(deduped, run_ts)
         if with_embeddings:
             out = out.withColumn("fact_embedding",
                                  extract.embed_udf(F.col("fact")))
@@ -190,8 +191,14 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                        ).otherwise(F.col("_summary"))
         out = (entities.join(per_entity, "uuid", "left")
                .withColumn("summary", F.coalesce(trunc, F.lit("")))
+               # E4 typed entity attributes: the ontology type from the
+               # first mention (node_operations.py:295-381 fills custom
+               # typed attributes; our deterministic slot is the type).
                .withColumn("attributes",
-                           F.create_map().cast("map<string,string>"))
+                           F.create_map(
+                               F.lit("entity_type"),
+                               F.coalesce(F.element_at("labels", 1),
+                                          F.lit("Entity"))))
                .drop("_summary"))
         if with_embeddings:
             out = out.withColumn("name_embedding",

@@ -800,6 +800,52 @@ SELECT conv_id, 1 AS turn_idx, place AS name, 'Place' AS entity_type_id
 """
 
 
+def q_kg_fact_dates(spark, sf_dir):
+    """E5 general fact-date resolution through the real extraction UDF:
+    a trailing temporal adjunct ("... on YYYY-MM-DD") overrides the
+    event-time default (edge_operations.py:211-225 semantics). Dates are
+    derived deterministically from c_custkey."""
+    from graphiti_spark.operators.episodes import assemble_episodes
+    from graphiti_spark.operators.extract import extract_edges
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                F.col("c_custkey"),
+                F.regexp_replace("c_name", "#", "").alias("person"),
+                F.initcap(F.lower("c_mktsegment")).alias("place")))
+    mm = F.lpad((F.col("c_custkey") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("c_custkey") % 28 + 1).cast("string"), 2, "0")
+    text = F.concat(F.col("person"), F.lit(" moved to "), F.col("place"),
+                    F.lit(" on 2022-"), mm, F.lit("-"), dd, F.lit("."))
+    tr = base.select(
+        F.concat(F.lit("dconv"), F.col("c_custkey").cast("string"))
+         .alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"))
+    raw = extract_edges(assemble_episodes(tr, RUN_TS), RUN_TS)
+    return raw.select(F.col("group_id").alias("conv_id"),
+                      "subj", "pred", "obj", "valid_at")
+
+
+SQL_KG_FACT_DATES = """
+WITH base AS (
+  SELECT 'dconv' || CAST(c_custkey AS VARCHAR) AS conv_id,
+         replace(c_name, '#', '') AS person,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place,
+         CAST(c_custkey % 12 + 1 AS INTEGER) AS mm,
+         CAST(c_custkey % 28 + 1 AS INTEGER) AS dd
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT conv_id, person AS subj, 'LIVES_IN' AS pred, place AS obj,
+       make_timestamp(2022, mm, dd, 0, 0, 0.0) AS valid_at
+FROM base
+"""
+
+
 def derived_json_transcripts(spark, sf_dir):
     """Deterministic EpisodeType.json transcripts from customer ⋈ nation:
     one structured episode per customer, `text` = a JSON object whose
@@ -1042,6 +1088,7 @@ QUERIES = {
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
+    "kg_fact_dates": q_kg_fact_dates,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1075,6 +1122,7 @@ ORACLES = {
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
+    "kg_fact_dates": SQL_KG_FACT_DATES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,

@@ -81,6 +81,52 @@ _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _WS = re.compile(r"\s+")
 _CTRL = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")  # _clean_input, llm_client/client.py:68-88
 
+# Trailing temporal adjunct on a fact sentence: "... since <date>",
+# "... on <date>", "... from <date>", "... until <date>".
+_ADJUNCT = re.compile(
+    r"^(?P<core>.*?)[\s,]+(?P<kind>since|from|on|until)\s+"
+    r"(?P<d>\d[\dTZz:+.\-]*)$")
+_YEAR_ONLY = re.compile(r"^\d{4}$")
+
+
+def parse_iso_date(s: str) -> datetime | None:
+    """General fact-date parser (E5) — the reference parses LLM-emitted
+    ISO-8601 strings with ``Z``→``+00:00`` substitution and warn-and-null
+    on failure (``edge_operations.py:211-225``). Extensions: a bare year
+    resolves to Jan 1 (matching the "founded in YYYY" template rule) and
+    naive datetimes are assumed UTC (``ensure_utc``,
+    ``utils/datetime_utils.py:20-42``)."""
+    s = (s or "").strip()
+    if _YEAR_ONLY.match(s):
+        return datetime(int(s), 1, 1, tzinfo=timezone.utc)
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00")
+                                     .replace("z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def _match_templates(sent: str):
+    """Match a sentence against the fact templates, first verbatim, then
+    with a trailing temporal adjunct peeled off. → (match, pred, mode,
+    type_a, type_b, adjunct_kind, adjunct_dt) or None."""
+    for pat, pred, mode, t_a, t_b in _PATTERNS:
+        m = pat.match(sent)
+        if m:
+            return m, pred, mode, t_a, t_b, None, None
+    am = _ADJUNCT.match(sent)
+    if am:
+        dt = parse_iso_date(am.group("d"))
+        core = am.group("core").strip()
+        for pat, pred, mode, t_a, t_b in _PATTERNS:
+            m = pat.match(core)
+            if m:
+                return m, pred, mode, t_a, t_b, am.group("kind"), dt
+    return None
+
 
 def clean_text(text: str) -> str:
     """Strip control chars + collapse whitespace (reference ``_clean_input``)."""
@@ -212,12 +258,11 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE) -> list[dict]:
     if speaker and speaker.lower() not in _GENERIC_SPEAKERS:
         add(speaker, TYPE_SPEAKER)
     for sent in sentences(body):
-        for pat, _pred, _mode, t_a, t_b in _PATTERNS:
-            m = pat.match(sent)
-            if m:
-                add(m.group("a"), t_a)
-                add(m.group("b"), t_b)
-                break
+        hit = _match_templates(sent)
+        if hit:
+            m, _pred, _mode, t_a, t_b, _kind, _dt = hit
+            add(m.group("a"), t_a)
+            add(m.group("b"), t_b)
     return list(seen.values())
 
 
@@ -248,7 +293,7 @@ def extract_triples(content: str, ts: datetime | None,
             out.append({
                 "subj": subject, "pred": _pred_from_key(k), "obj": v,
                 "fact": f"{subject} {k}: {v}", "valid_at": ts,
-                "invalid_at": None,
+                "invalid_at": None, "attributes": {"field": k},
             })
         return out
 
@@ -258,26 +303,38 @@ def extract_triples(content: str, ts: datetime | None,
         _speaker, body = split_speaker(content)
     out = []
     for sent in sentences(body):
-        for pat, pred, mode, _t_a, _t_b in _PATTERNS:
-            m = pat.match(sent)
-            if not m:
-                continue
-            subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
-            if not subj or not obj or normalize_name(subj) == normalize_name(obj):
-                break
-            valid_at: datetime | None = None
-            invalid_at: datetime | None = None
-            if mode == "pos":
-                valid_at = ts
-            elif mode == "neg":
-                invalid_at = ts
-            elif mode == "year":
-                valid_at = datetime(int(m.group("y")), 1, 1, tzinfo=timezone.utc)
-            out.append({
-                "subj": subj, "pred": pred, "obj": obj,
-                "fact": sent, "valid_at": valid_at, "invalid_at": invalid_at,
-            })
-            break
+        hit = _match_templates(sent)
+        if hit is None:
+            continue
+        m, pred, mode, _t_a, _t_b, adj_kind, adj_dt = hit
+        subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
+        if not subj or not obj or normalize_name(subj) == normalize_name(obj):
+            continue
+        valid_at: datetime | None = None
+        invalid_at: datetime | None = None
+        attributes: dict[str, str] = {}
+        if mode == "pos":
+            valid_at = ts
+        elif mode == "neg":
+            invalid_at = ts
+        elif mode == "year":
+            valid_at = datetime(int(m.group("y")), 1, 1, tzinfo=timezone.utc)
+            attributes["year"] = m.group("y")
+        # General fact-date resolution (E5): a parsed temporal adjunct
+        # overrides the event-time default — since/from/on set valid_at,
+        # until sets invalid_at (edge_operations.py:211-225 semantics:
+        # LLM-emitted dates take precedence over reference_time).
+        if adj_dt is not None:
+            if adj_kind in ("since", "from", "on"):
+                valid_at = adj_dt
+            elif adj_kind == "until":
+                invalid_at = adj_dt
+            attributes[adj_kind] = adj_dt.isoformat()
+        out.append({
+            "subj": subj, "pred": pred, "obj": obj,
+            "fact": sent, "valid_at": valid_at, "invalid_at": invalid_at,
+            "attributes": attributes,
+        })
     return out
 
 

@@ -46,6 +46,10 @@ TRIPLE = T.StructType([
     T.StructField("fact", T.StringType(), False),
     T.StructField("valid_at", T.TimestampType(), True),
     T.StructField("invalid_at", T.TimestampType(), True),
+    # E4 typed attributes from template slots / temporal adjuncts / JSON
+    # field names (edges.py:186-188 attributes dict).
+    T.StructField("attributes", T.MapType(T.StringType(), T.StringType()),
+                  True),
 ])
 
 # EntityNode (nodes.py:265-269).

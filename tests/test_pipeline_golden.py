@@ -90,6 +90,20 @@ def test_expired_at_set_iff_invalidated(spark, graph):
     assert n_bad == 0
 
 
+def test_typed_attributes_populated(spark, graph):
+    """E4 gate: entity attributes carry the ontology type; FOUNDED edges
+    carry their year slot (attributes no longer the empty map)."""
+    g, _ = graph
+    ents = g.entities.select("attributes", "labels").limit(50).collect()
+    assert ents
+    for r in ents:
+        assert r["attributes"].get("entity_type") == r["labels"][0]
+    founded = (g.edges.where(F.col("name") == "FOUNDED")
+               .select("attributes", "valid_at").collect())
+    for r in founded:
+        assert r["attributes"].get("year") == str(r["valid_at"].year)
+
+
 def test_episodic_edges_reference_canonical_entities(spark, graph):
     g, _ = graph
     orphans = (g.episodic_edges.join(

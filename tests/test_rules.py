@@ -62,6 +62,54 @@ def test_triples_multi_sentence():
     assert [(r["pred"]) for r in t] == ["WORKS_AT", "LIVES_IN"]
 
 
+def test_parse_iso_date():
+    """edge_operations.py:211-225 semantics: Z→+00:00, warn-and-null on
+    failure; naive → UTC; bare year → Jan 1."""
+    utc = timezone.utc
+    assert rules.parse_iso_date("2021-05-01") == datetime(2021, 5, 1, tzinfo=utc)
+    assert rules.parse_iso_date("2021-05-01T10:30:00Z") == \
+        datetime(2021, 5, 1, 10, 30, tzinfo=utc)
+    assert rules.parse_iso_date("2021-05-01T12:00:00+02:00") == \
+        datetime(2021, 5, 1, 10, 0, tzinfo=utc)
+    assert rules.parse_iso_date("1999") == datetime(1999, 1, 1, tzinfo=utc)
+    assert rules.parse_iso_date("not a date") is None
+    assert rules.parse_iso_date("") is None
+
+
+def test_temporal_adjunct_resolution():
+    """E5: '... since/on/from <date>' sets valid_at; '... until <date>'
+    sets invalid_at; the adjunct also lands in attributes."""
+    t = rules.extract_triples(
+        "user: Alice works at Acme Corp since 2021-05-01.", TS)
+    assert len(t) == 1
+    r = t[0]
+    assert r["pred"] == "WORKS_AT"
+    assert r["valid_at"] == datetime(2021, 5, 1, tzinfo=timezone.utc)
+    assert r["attributes"] == {"since": "2021-05-01T00:00:00+00:00"}
+    u = rules.extract_triples(
+        "user: Alice works at Acme Corp until 2022-03-04T10:00:00Z.", TS)[0]
+    assert u["valid_at"] == TS       # present-tense default kept
+    assert u["invalid_at"] == datetime(2022, 3, 4, 10, tzinfo=timezone.utc)
+    # mentions are extracted from adjunct sentences too
+    m = rules.extract_mentions(
+        "user: Alice works at Acme Corp since 2021-05-01.")
+    assert [x["name"] for x in m] == ["Alice", "Acme Corp"]
+    # unparseable adjunct date → sentence doesn't match (stays consistent
+    # between mentions and triples)
+    assert rules.extract_triples(
+        "user: Alice works at Acme Corp since 99x9.", TS) == []
+
+
+def test_triple_attributes_slots():
+    yr = rules.extract_triples("user: Bob founded Globex in 1999.", TS)[0]
+    assert yr["attributes"] == {"year": "1999"}
+    plain = rules.extract_triples("user: Alice works at Acme Corp.", TS)[0]
+    assert plain["attributes"] == {}
+    j = rules.extract_triples('{"name": "Jane", "employer": "Acme"}', TS,
+                              source=rules.SOURCE_JSON)[0]
+    assert j["attributes"] == {"field": "employer"}
+
+
 def test_json_episode_extraction():
     """EpisodeType.json contract: 'name' field = subject, capitalized
     string fields → (name, UPPER(key), value) triples + mentions."""
