@@ -100,28 +100,13 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
     return labels
 
 
-def build_communities(entities: DataFrame, edges: DataFrame,
-                      run_ts: datetime) -> tuple[DataFrame, DataFrame]:
-    """→ (communities, community_edges) — CommunityNode rows (uuid, name,
-    group_id, summary, created_at) + HAS_MEMBER thin edges
-    (``edges.py:344``). Summary = member summaries joined chronologically,
-    truncated to 250 words (``community_operations.py:125-190`` semantics,
-    deterministic)."""
-    labels = label_propagation(entities, edges)
-    members = (entities.join(labels.select("uuid", "community"), "uuid"))
-
-    degree = (neighbor_projection(edges)
-              .groupBy("src").agg(F.sum("edge_count").alias("degree"))
-              .withColumnRenamed("src", "uuid"))
-    members = members.join(degree, "uuid", "left").na.fill({"degree": 0})
-
-    comm_uuid = stable_id_cols(F.lit("community"), F.col("group_id"),
-                               F.col("community"))
-    members = members.withColumn("community_uuid", comm_uuid)
-
-    # name = top-degree member's name, degree ties broken by min uuid;
-    # summary = ordered concat of member summaries. min(struct(-degree,
-    # uuid, ...)) = max degree then lexicographic-min uuid.
+def _community_rows(members: DataFrame, run_ts: datetime) -> DataFrame:
+    """Aggregate member rows (uuid, name, group_id, summary, degree,
+    community_uuid) into CommunityNode rows. name = top-degree member's
+    name, degree ties broken by min uuid (min over struct(-degree, uuid)
+    = max degree then lexicographic-min uuid); summary = uuid-ordered
+    concat of member summaries truncated to 250 words
+    (``community_operations.py:125-190`` semantics, deterministic)."""
     pick = F.min(F.struct((-F.col("degree")).alias("_nd"),
                           F.col("uuid").alias("_u"),
                           F.col("name"))).alias("top")
@@ -139,7 +124,7 @@ def build_communities(entities: DataFrame, edges: DataFrame,
     summary = F.when(F.size(words) > SUMMARY_MAX_WORDS,
                      F.array_join(F.slice(words, 1, SUMMARY_MAX_WORDS), " ")
                      ).otherwise(F.col("_summary"))
-    communities = agg.select(
+    return agg.select(
         F.col("community_uuid").alias("uuid"),
         F.col("top.name").alias("name"),
         "group_id",
@@ -147,11 +132,121 @@ def build_communities(entities: DataFrame, edges: DataFrame,
         F.col("n_members"),
         F.lit(run_ts).cast("timestamp").alias("created_at"))
 
-    community_edges = members.select(
+
+def _degree(edges: DataFrame) -> DataFrame:
+    return (neighbor_projection(edges)
+            .groupBy("src").agg(F.sum("edge_count").alias("degree"))
+            .withColumnRenamed("src", "uuid"))
+
+
+def _member_edge_rows(members: DataFrame, run_ts: datetime) -> DataFrame:
+    """HAS_MEMBER thin edges (``edges.py:344``) from member rows."""
+    return members.select(
         stable_id_cols(F.lit("member"), F.col("group_id"),
                        F.col("community_uuid"), F.col("uuid")).alias("uuid"),
         "group_id",
         F.col("community_uuid").alias("source_node_uuid"),
         F.col("uuid").alias("target_node_uuid"),
         F.lit(run_ts).cast("timestamp").alias("created_at"))
-    return communities, community_edges
+
+
+def build_communities(entities: DataFrame, edges: DataFrame,
+                      run_ts: datetime) -> tuple[DataFrame, DataFrame]:
+    """→ (communities, community_edges) — CommunityNode rows (uuid, name,
+    group_id, summary, created_at) + HAS_MEMBER thin edges."""
+    labels = label_propagation(entities, edges)
+    members = (entities.join(labels.select("uuid", "community"), "uuid")
+               .join(_degree(edges), "uuid", "left").na.fill({"degree": 0})
+               .withColumn("community_uuid",
+                           stable_id_cols(F.lit("community"),
+                                          F.col("group_id"),
+                                          F.col("community"))))
+    return (_community_rows(members, run_ts),
+            _member_edge_rows(members, run_ts))
+
+
+# -- J7 third traversal semi-join + incremental maintenance -----------------
+
+def get_communities_by_nodes(community_edges: DataFrame,
+                             communities: DataFrame,
+                             node_uuids: list[str]) -> DataFrame:
+    """Communities having any of the given entities as members
+    (``search_utils.py:121-139``): membership semi-join."""
+    mem = (community_edges
+           .where(F.col("target_node_uuid").isin(node_uuids))
+           .select(F.col("source_node_uuid").alias("uuid")))
+    return communities.join(mem.distinct(), "uuid", "left_semi")
+
+
+def determine_entity_communities(community_edges: DataFrame,
+                                 edges: DataFrame,
+                                 entity_uuids: list[str]) -> DataFrame:
+    """→ (uuid, community_uuid, is_new) per entity — the batch form of
+    ``determine_entity_community`` (``community_operations.py:228-284``):
+    an entity already in a community keeps it (is_new=false); otherwise it
+    adopts the mode community among its RELATES_TO neighbors
+    (is_new=true); entities with no communal neighbors are absent from the
+    result. Tie-break: min community uuid (the reference takes the first
+    max-count in dict order — nondeterministic; ours is stable)."""
+    spark = community_edges.sparkSession
+    ids = spark.createDataFrame([(u,) for u in entity_uuids], ["uuid"])
+    existing = (community_edges
+                .join(ids.withColumnRenamed("uuid", "target_node_uuid"),
+                      "target_node_uuid", "left_semi")
+                .groupBy(F.col("target_node_uuid").alias("uuid"))
+                .agg(F.min("source_node_uuid").alias("community_uuid"))
+                .withColumn("is_new", F.lit(False)))
+    missing = ids.join(existing.select("uuid"), "uuid", "left_anti")
+    nbr = (edges.select(F.col("source_node_uuid").alias("uuid"),
+                        F.col("target_node_uuid").alias("nbr"))
+           .unionByName(edges.select(
+               F.col("target_node_uuid").alias("uuid"),
+               F.col("source_node_uuid").alias("nbr")))
+           .join(F.broadcast(missing), "uuid"))
+    votes = (nbr.join(community_edges
+                      .select(F.col("target_node_uuid").alias("nbr"),
+                              F.col("source_node_uuid")
+                               .alias("community_uuid")), "nbr")
+             .groupBy("uuid", "community_uuid")
+             .agg(F.count("*").alias("votes")))
+    w = Window.partitionBy("uuid").orderBy(F.col("votes").desc(),
+                                           F.col("community_uuid"))
+    adopted = (votes.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .select("uuid", "community_uuid",
+                       F.lit(True).alias("is_new")))
+    return existing.unionByName(adopted)
+
+
+def update_communities(entities: DataFrame, edges: DataFrame,
+                       communities: DataFrame, community_edges: DataFrame,
+                       entity_uuids: list[str], run_ts: datetime
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Incremental community maintenance (``update_community``,
+    ``community_operations.py:287-311``): assign each touched entity a
+    community (existing or adopted), append the new HAS_MEMBER edges, and
+    re-summarize ONLY the affected communities — cost ∝ touched
+    communities' member count, not graph size."""
+    assign = determine_entity_communities(community_edges, edges,
+                                          entity_uuids)
+    new_members = (assign.where(F.col("is_new"))
+                   .join(entities.select("uuid", "group_id"), "uuid")
+                   .select("uuid", "group_id", "community_uuid"))
+    new_edges = _member_edge_rows(new_members, run_ts)
+    community_edges2 = (community_edges.unionByName(new_edges)
+                        .dropDuplicates(["uuid"]))
+
+    affected = assign.select(F.col("community_uuid").alias("uuid")).distinct()
+    aff_members = (community_edges2
+                   .join(F.broadcast(affected),
+                         community_edges2.source_node_uuid == affected.uuid,
+                         "left_semi")
+                   .select(F.col("target_node_uuid").alias("uuid"),
+                           F.col("source_node_uuid").alias("community_uuid")))
+    members = (aff_members
+               .join(entities.select("uuid", "name", "group_id", "summary"),
+                     "uuid")
+               .join(_degree(edges), "uuid", "left").na.fill({"degree": 0}))
+    rebuilt = _community_rows(members, run_ts)
+    kept = communities.join(F.broadcast(affected), "uuid", "left_anti")
+    return kept.unionByName(rebuilt.select(kept.columns)), community_edges2

@@ -76,6 +76,60 @@ def test_build_communities_rollup(spark):
     assert orphan == 0
 
 
+def test_get_communities_by_nodes(spark):
+    ents, edges = _graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        ["a", "b", "c", "x", "y"])
+    comms, comm_edges = C.build_communities(ents, edges, RUN_TS)
+    got = C.get_communities_by_nodes(comm_edges, comms, ["a"]).collect()
+    assert len(got) == 1 and got[0]["n_members"] == 3
+    both = C.get_communities_by_nodes(comm_edges, comms, ["a", "x"])
+    assert both.count() == 2
+    assert C.get_communities_by_nodes(comm_edges, comms, ["nope"]).count() == 0
+
+
+def test_determine_and_update_communities(spark):
+    """Incremental path (community_operations.py:228-311): an existing
+    member keeps its community; a new entity adopts the neighbor-mode
+    community; the affected community is re-summarized with the new
+    member; untouched communities are carried over unchanged."""
+    ents, edges = _graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        ["a", "b", "c", "x", "y"])
+    comms, comm_edges = C.build_communities(ents, edges, RUN_TS)
+
+    # new entity 'n' linked to two members of the abc community
+    ents2, edges2 = _graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"),
+         ("n", "a"), ("n", "b")],
+        ["a", "b", "c", "x", "y", "n"])
+    assign = {r["uuid"]: (r["community_uuid"], r["is_new"])
+              for r in C.determine_entity_communities(
+                  comm_edges, edges2, ["a", "n"]).collect()}
+    abc = next(r["source_node_uuid"] for r in comm_edges.collect()
+               if r["target_node_uuid"] == "a")
+    assert assign["a"] == (abc, False)       # existing membership kept
+    assert assign["n"] == (abc, True)        # adopted neighbor-mode comm
+
+    comms2, comm_edges2 = C.update_communities(
+        ents2, edges2, comms, comm_edges, ["n"], RUN_TS)
+    rows = {r["uuid"]: r for r in comms2.collect()}
+    assert rows[abc]["n_members"] == 4
+    assert "summary of n" in rows[abc]["summary"]
+    xy = next(u for u in rows if u != abc)
+    assert rows[xy]["n_members"] == 2        # untouched community intact
+    # membership edge added exactly once
+    assert comm_edges2.where(
+        (F.col("source_node_uuid") == abc)
+        & (F.col("target_node_uuid") == "n")).count() == 1
+    # an entity with no communal neighbors is not assigned
+    lone = C.determine_entity_communities(comm_edges, edges2, ["zzz"])
+    assert lone.count() == 0
+
+
 def test_label_propagation_deterministic(spark):
     ents, edges = _graph(
         spark,
