@@ -62,10 +62,14 @@ def build_ivf(embeddings: DataFrame, n_cells: int = 16,
     """
     q = embeddings.select(F.col(id_col).alias("_id"),
                           F.expr(_qvec(emb_col)).alias("qv"))
+    # Seed pick = the n_cells smallest id-hashes via sort().limit() — a
+    # distributed TakeOrdered over the corpus, NOT a global row_number
+    # Window (which would rank every row through one task at 100 TB). The
+    # rank window below runs over the already-limited n_cells rows only.
+    picked = (q.withColumn("_h", F.crc32(F.col("_id").cast("string")))
+              .orderBy("_h", "_id").limit(n_cells))
     w = Window.orderBy("_h", "_id")
-    seeds = (q.withColumn("_h", F.crc32(F.col("_id").cast("string")))
-             .withColumn("cell_id", F.row_number().over(w) - 1)
-             .where(F.col("cell_id") < n_cells)
+    seeds = (picked.withColumn("cell_id", F.row_number().over(w) - 1)
              .select("cell_id", F.col("qv").alias("cv")))
 
     assign0 = _assign(q, seeds)

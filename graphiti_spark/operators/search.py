@@ -125,8 +125,14 @@ def bfs_search(edges: DataFrame, origin_uuids: list[str],
     seen_nodes = frontier
     out = None
     for hop in range(1, depth + 1):
-        step = (sym.join(F.broadcast(frontier),
-                         sym.src == frontier.node)
+        # Broadcast only the first frontier (the literal origin list, known
+        # small). Deeper frontiers on a dense graph can reach millions of
+        # nodes — a forced broadcast there is a driver OOM at scale, so the
+        # later hops use an unhinted equi-join and let AQE pick the
+        # strategy (it still broadcasts when the frontier is actually
+        # small at runtime).
+        fr = F.broadcast(frontier) if hop == 1 else frontier
+        step = (sym.join(fr, sym.src == frontier.node)
                 .select("dst", "edge_uuid")
                 .withColumn("hops", F.lit(hop)))
         hop_edges = step.select(F.col("edge_uuid").alias("uuid"), "hops")

@@ -265,33 +265,56 @@ SELECT l_partkey, CAST(2 AS INTEGER) AS hops FROM h2
 # Aggregation / ranking / set ops (A2/A3/W2/W3/W7/U1 — SURVEY §2.4-2.6)
 # ---------------------------------------------------------------------------
 
+RRF_CANDIDATES = 200   # per-method candidate-list bound (reference fans
+                       # out 2×limit per method — ranked lists are bounded)
+
+
 def q_rrf_fusion(spark, sf_dir):
-    """A2 reciprocal rank fusion (search_utils.py:875-890): fuse two ranked
-    lists of orders; score = Σ 1/(60+rank); top 20."""
+    """A2 reciprocal rank fusion (search_utils.py:875-890): each method
+    contributes a BOUNDED candidate list — top-200 via sort().limit()
+    (distributed TakeOrdered), ranked within the bounded set, missing
+    membership contributes 0 — then score = Σ 1/(60+rank), top 20. Never
+    ranks an unbounded table through a global window (the reference ranks
+    per-method result lists, not corpora)."""
     o = load(spark, sf_dir, "orders")
-    wa = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    wb = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey"))
-    ranked = o.select(
-        "o_orderkey",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wb).alias("rb"))
-    return (ranked
-            .select("o_orderkey",
-                    (F.lit(1.0) / (F.lit(60) + F.col("ra"))
-                     + F.lit(1.0) / (F.lit(60) + F.col("rb"))).alias("rrf_score"))
-            .orderBy(F.col("rrf_score").desc(), F.col("o_orderkey"))
+
+    def top(order_cols, rank_name):
+        lim = (o.select("o_orderkey", *[c for c in
+                                        ("o_totalprice", "o_orderdate")])
+               .orderBy(*order_cols).limit(RRF_CANDIDATES))
+        w = Window.orderBy(*order_cols)   # over ≤ RRF_CANDIDATES rows
+        return lim.select("o_orderkey",
+                          F.row_number().over(w).alias(rank_name))
+
+    ra = top([F.col("o_totalprice").desc(), F.col("o_orderkey")], "ra")
+    rb = top([F.col("o_orderdate").asc(), F.col("o_orderkey")], "rb")
+    fused = (ra.join(rb, "o_orderkey", "full_outer")
+             .select("o_orderkey",
+                     (F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("ra")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")),
+                                   F.lit(0.0))).alias("rrf_score")))
+    return (fused.orderBy(F.col("rrf_score").desc(), F.col("o_orderkey"))
             .limit(20))
 
 
-SQL_RRF_FUSION = """
-WITH ranked AS (
-  SELECT o_orderkey,
-         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS ra,
-         row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey) AS rb
-  FROM orders
+SQL_RRF_FUSION = f"""
+WITH la AS (
+  SELECT o_orderkey, row_number() OVER
+           (ORDER BY o_totalprice DESC, o_orderkey) AS ra
+  FROM (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT {RRF_CANDIDATES})
+), lb AS (
+  SELECT o_orderkey, row_number() OVER
+           (ORDER BY o_orderdate ASC, o_orderkey) AS rb
+  FROM (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_orderdate ASC, o_orderkey LIMIT {RRF_CANDIDATES})
 )
-SELECT o_orderkey, 1.0 / (60 + ra) + 1.0 / (60 + rb) AS rrf_score
-FROM ranked ORDER BY rrf_score DESC, o_orderkey LIMIT 20
+SELECT coalesce(la.o_orderkey, lb.o_orderkey) AS o_orderkey,
+       coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0)
+         AS rrf_score
+FROM la FULL OUTER JOIN lb ON la.o_orderkey = lb.o_orderkey
+ORDER BY rrf_score DESC, o_orderkey LIMIT 20
 """
 
 

@@ -20,8 +20,8 @@ import os
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from graphiti_spark.operators.maintenance import incremental_update
 from graphiti_spark.schema import TRANSCRIPTS
 
 
@@ -35,9 +35,16 @@ def stream_transcripts(spark: SparkSession, path: str,
 
 
 class StreamingGraphWriter:
-    """foreachBatch sink: per micro-batch, run the batch stages and merge
-    into the entity/edge tables under `out_root` (uuid-keyed, existing rows
-    preferred — matching resolve-to-existing, node_operations.py:258-284)."""
+    """foreachBatch sink: per micro-batch, rebuild only the conversations
+    the batch touches and replace ONLY those partitions via dynamic
+    partition overwrite — the parquet form of Iceberg's
+    ``overwritePartitions``. IO per batch is O(touched groups), not
+    O(graph); untouched partitions' files are never rewritten.
+
+    Every output is ``localCheckpoint``-materialized BEFORE the first
+    write: the recompute plans read the very partition files the write
+    replaces, so an unmaterialized (lazy) plan could hit deleted files on
+    cache eviction mid-write."""
 
     def __init__(self, out_root: str, run_ts: datetime):
         self.out_root = out_root
@@ -46,28 +53,44 @@ class StreamingGraphWriter:
     def _read_or_none(self, spark: SparkSession, name: str):
         p = os.path.join(self.out_root, name)
         try:
-            return spark.read.parquet(p)
+            df = spark.read.parquet(p)
         except Exception:
             return None
+        # partition-column type inference may read a numeric-looking
+        # conv_id/group_id back as int — pin the schema's string type
+        for c in ("conv_id", "group_id"):
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast("string"))
+        return df
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        transcripts, entities, edges = incremental_update(
-            spark, batch_df,
-            self._read_or_none(spark, "transcripts"),
-            self._read_or_none(spark, "entities"),
-            self._read_or_none(spark, "edges"),
-            self.run_ts)
-        # rewrite-merge (MERGE INTO / overwritePartitions under Iceberg;
-        # staging-dir swap here)
-        for name, df in (("transcripts", transcripts),
-                         ("entities", entities), ("edges", edges)):
-            tmp = os.path.join(self.out_root, f"_{name}_b{batch_id}")
-            df.write.mode("overwrite").parquet(tmp)
-            final = os.path.join(self.out_root, name)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        from graphiti_spark.plans.pipeline import build_graph
+
+        affected = batch_df.select("conv_id").distinct()
+        existing_tr = self._read_or_none(spark, "transcripts")
+        if existing_tr is not None:
+            old_touched = existing_tr.join(F.broadcast(affected),
+                                           "conv_id", "left_semi")
+            touched = (old_touched.select(*batch_df.columns)
+                       .unionByName(batch_df)
+                       .dropDuplicates(["conv_id", "turn_idx"]))
+        else:
+            touched = batch_df
+        g = build_graph(spark, touched, run_ts=self.run_ts)
+
+        outputs = [("transcripts", touched, "conv_id"),
+                   ("entities", g.entities, "group_id"),
+                   ("edges", g.edges, "group_id")]
+        materialized = [(name, df.localCheckpoint(eager=True), pcol)
+                        for name, df, pcol in outputs]
+        for name, df, pcol in materialized:
+            (df.write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy(pcol)
+               .parquet(os.path.join(self.out_root, name)))
 
 
 def run_stream(spark: SparkSession, in_path: str, out_root: str,

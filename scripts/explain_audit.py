@@ -21,7 +21,27 @@ RED_FLAGS = [
     ("BatchEvalPython", "row-at-a-time Python UDF (want ArrowEvalPython)"),
 ]
 ALLOW_NESTED_LOOP = {"embedding_knn", "embedding_knn_ivf",
-                     "embedding_near_dup"}  # intended broadcast cross joins
+                     "embedding_near_dup",
+                     "dedup_minhash"}  # intended broadcast cross joins
+                                       # (8-row seed table × tokens)
+# Queries whose global (unpartitioned) windows rank only bounded inputs
+# (sort().limit() upstream): rrf_fusion ranks ≤200-row candidate lists,
+# build_ivf's seed ranking runs over ≤n_cells rows.
+ALLOW_GLOBAL_WINDOW = {"rrf_fusion", "embedding_knn_ivf"}
+
+
+def global_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec — every corpus row
+    through one task, the #1 scale-killer shape. In formatted explain a
+    partitioned Window's Arguments line has three top-level bracket
+    groups (functions, partition cols, order cols) = two `], [`
+    separators; a global one has only two groups = one separator."""
+    n = 0
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "Arguments:" in line \
+                and line.count("], [") == 1:
+            n += 1
+    return n
 
 
 def main():
@@ -47,6 +67,9 @@ def main():
         if ("BroadcastNestedLoopJoin" in plan
                 and name not in ALLOW_NESTED_LOOP):
             flags.append("unintended nested-loop join")
+        gw = global_windows(plan)
+        if gw and name not in ALLOW_GLOBAL_WINDOW:
+            flags.append(f"{gw} global unpartitioned Window(s)")
         scans = len(re.findall(r"Scan parquet", plan))
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         wsc = len(re.findall(r"WholeStageCodegen", plan))

@@ -60,6 +60,21 @@ def test_bfs_search_depth_and_hops(spark, edges_df):
     assert d1 == {"e1", "e3"}
 
 
+def test_bfs_dense_frontier(spark):
+    """Hub-and-spoke graph: the hop-1 frontier is 500 nodes wide — deeper
+    hops must run the unhinted equi-join path (no forced broadcast, the
+    driver-OOM shape at scale) and still return exact hop counts."""
+    n = 500
+    rows = [(f"e{i}", "hub", f"leaf{i}") for i in range(n)] + \
+           [(f"x{i}", f"leaf{i}", f"deep{i}") for i in range(n)]
+    edges = spark.createDataFrame(
+        rows, ["uuid", "source_node_uuid", "target_node_uuid"])
+    out = {r["uuid"]: r["hops"]
+           for r in S.bfs_search(edges, ["hub"], depth=2).collect()}
+    assert sum(1 for h in out.values() if h == 1) == n
+    assert sum(1 for h in out.values() if h == 2) == n
+
+
 def test_rrf_exact_scores(spark):
     a = spark.createDataFrame([("x", 3.0), ("y", 2.0)], ["uuid", "score"])
     b = spark.createDataFrame([("y", 9.0), ("z", 1.0)], ["uuid", "score"])
