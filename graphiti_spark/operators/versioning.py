@@ -56,6 +56,14 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
              else F.create_map().cast("map<string,string>"))
     df = (edges_raw.withColumn("_neg", is_neg)
           .withColumn("_attrs", attrs))
+    # ONE explicit shuffle keyed by (group_id, source_node_uuid): hash
+    # partitioning on a subset of every downstream clustering key means
+    # the dedupe groupBy, both versioning windows (w_func on
+    # (group,src,name), w_sent on (group,src,dst)), and the negation
+    # equi-join all reuse this partitioning — sorts only, no further
+    # exchanges of the edge table through the whole dedupe+versioning
+    # stage. At 10^12-turn scale that removes 3 full-table shuffles.
+    df = df.repartition("group_id", "source_node_uuid")
     # Flat ordering struct: comparison short-circuits at the unique uuid,
     # so the payload fields (fact/subj/obj/attrs) ride along without ever
     # being compared — one cheap min() instead of a nested-struct aggregate.
@@ -110,10 +118,13 @@ def apply_versioning(edges: DataFrame, run_ts: datetime) -> DataFrame:
     """Fill invalid_at / expired_at per the T1/T2 rules. Input: output of
     :func:`dedupe_edges`. Output: full EDGES-shaped rows (minus embeddings).
     """
-    # The input feeds three branches (pos, neg, pos_keys) — persist so the
-    # upstream dedupe/remap chain is computed once, not per branch.
+    # The input feeds three branches (pos, neg, pos_keys) — persist AND
+    # materialize eagerly: a lazy persist lets the branches pull the
+    # upstream dedupe/remap chain through the cold cache concurrently,
+    # computing the shared subtree up to three times in the same job.
     from pyspark.storagelevel import StorageLevel
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     pos = edges.where(~F.col("_neg"))
     neg = edges.where(F.col("_neg"))
 

@@ -686,6 +686,57 @@ WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 40
 """
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID histogram through the real stopword-vote heuristic
+    (functions/text.lang_id) in an Arrow-batched UDF; the oracle replays
+    the identical vote in SQL (distinct-token ∩ per-language stopword
+    lists, argmax by (score, lang) with 'unknown' at score 0)."""
+    from pyspark.sql import types as T
+
+    from graphiti_spark.functions import text as tx
+
+    @F.pandas_udf(T.StringType())
+    def lid(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: tx.lang_id(t or ""))
+
+    d = load(spark, sf_dir, "documents")
+    return (d.select(lid(F.col("text")).alias("lang"))
+            .groupBy("lang").agg(F.count("*").alias("n_docs")))
+
+
+def _sql_lang_id() -> str:
+    from graphiti_spark.functions import text as tx
+    langs = [("en", tx._STOPWORDS_EN)] + sorted(tx._STOPWORDS_OTHER.items())
+
+    def score(words):
+        lst = ", ".join(f"'{w}'" for w in sorted(words))
+        return f"len(list_intersect(toks, [{lst}]))"
+
+    scores = ",\n         ".join(
+        f"{score(words)} AS s_{lang}" for lang, words in langs)
+    structs = ", ".join("{'s': s_%s, 'l': '%s'}" % (lang, lang)
+                        for lang, _ in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         {scores}
+  FROM t
+), p AS (
+  SELECT doc_id, list_sort([{structs}])[-1] AS best FROM s
+)
+SELECT CASE WHEN best.s = 0 THEN 'unknown' ELSE best.l END AS lang,
+       count(*) AS n_docs
+FROM p GROUP BY 1
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
 def q_cross_encoder_rerank(spark, sf_dir):
     """Q7 cross_encoder reranker stand-in (operators/search.py
     cross_encoder_rank): lexical-overlap score of each document vs a fixed
@@ -1107,6 +1158,7 @@ QUERIES = {
     "embedding_centroid": q_embedding_centroid,
     "token_count": q_token_count,
     "quality_filter": q_quality_filter,
+    "lang_id": q_lang_id,
     "cross_encoder_rerank": q_cross_encoder_rerank,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
@@ -1141,6 +1193,7 @@ ORACLES = {
     "embedding_centroid": SQL_EMBEDDING_CENTROID,
     "token_count": SQL_TOKEN_COUNT,
     "quality_filter": SQL_QUALITY_FILTER,
+    "lang_id": SQL_LANG_ID,
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
