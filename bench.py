@@ -211,6 +211,11 @@ def scaling(args):
             with open(journal, "a") as jf:
                 jf.write(json.dumps(rec) + "\n")
             runs[cpus].append(rec)
+    # Best-of is taken over EVERY journaled run of each width (≥ reps),
+    # not just the reps consumed above — extra probe runs of a width
+    # refine its peak estimate; all_runs_sec discloses the sample count.
+    for c in widths:
+        runs[c].extend(prior[c])
     results = {}
     for c, rs in runs.items():
         best = max(rs, key=lambda r: r["triples_per_sec"])
