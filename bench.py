@@ -75,23 +75,36 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_pipeline(spark, pipeline_sf: float) -> dict:
-    """Full KG build over the seeded synthetic corpus; returns throughput."""
+def run_pipeline(spark, pipeline_sf: float, reps: int | None = None) -> dict:
+    """Full KG build over the seeded synthetic corpus; returns throughput.
+
+    The sandbox host is shared (same binary swings ±40% run-to-run — see
+    BASELINE.md), so like the scaling mode this reports PEAK over ``reps``
+    runs with every run disclosed in ``all_runs_sec``. The Spark cache is
+    cleared between reps so no run reads another's persisted stages.
+    """
     from graphiti_spark.datagen import ensure_corpus
     from graphiti_spark.plans.pipeline import build_graph
 
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPS", "3"))
     corpus = ensure_corpus(pipeline_sf)
     tr = spark.read.parquet(f"{corpus}/transcripts.parquet")
     n_turns = tr.count()
-    t0 = time.time()
-    g = build_graph(spark, tr)
-    n_triples = g.edges.count()   # stages persist → one materialization
-    wall = time.time() - t0
+    walls = []
+    for _ in range(max(1, reps)):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        g = build_graph(spark, tr)
+        n_triples = g.edges.count()   # stages persist → one materialization
+        walls.append(time.time() - t0)
+    wall = min(walls)
     return {
         "pipeline_sf": pipeline_sf, "n_turns": n_turns,
         "n_triples": n_triples, "pipeline_sec": round(wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
         "turns_per_sec": round(n_turns / wall, 2),
+        "pipeline_runs_sec": [round(w, 2) for w in walls],
     }
 
 
@@ -262,7 +275,9 @@ if __name__ == "__main__":
         ap2.add_argument("--pipeline-sf", type=float, default=0.1)
         a = ap2.parse_args()
         s = _spark(a.cpus, a.execs)
-        r = run_pipeline(s, a.pipeline_sf)
+        # one rep per JVM: the scaling campaign already takes peak over
+        # many journaled single-rep JVMs (fresh JVM per measurement).
+        r = run_pipeline(s, a.pipeline_sf, reps=1)
         s.stop()
         print(json.dumps({**r, "cpus": a.cpus, "execs": a.execs}))
     else:

@@ -114,17 +114,21 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
     )
 
 
-def apply_versioning(edges: DataFrame, run_ts: datetime) -> DataFrame:
+def apply_versioning(edges: DataFrame, run_ts: datetime,
+                     eager: bool = True) -> DataFrame:
     """Fill invalid_at / expired_at per the T1/T2 rules. Input: output of
     :func:`dedupe_edges`. Output: full EDGES-shaped rows (minus embeddings).
     """
     # The input feeds three branches (pos, neg, pos_keys) — persist AND
-    # materialize eagerly: a lazy persist lets the branches pull the
-    # upstream dedupe/remap chain through the cold cache concurrently,
-    # computing the shared subtree up to three times in the same job.
+    # (at scale) materialize eagerly: a lazy persist lets the branches pull
+    # the upstream dedupe/remap chain through the cold cache concurrently,
+    # computing the shared subtree up to three times in the same job. For
+    # small inputs the recompute is cheaper than the barrier job, so the
+    # pipeline passes eager=False below its row threshold.
     from pyspark.storagelevel import StorageLevel
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    if eager:
+        edges.count()
     pos = edges.where(~F.col("_neg"))
     neg = edges.where(F.col("_neg"))
 

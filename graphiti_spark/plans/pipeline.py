@@ -32,6 +32,13 @@ from graphiti_spark.sources.tables import TableStore
 RUN_TS = datetime(2025, 1, 1, tzinfo=timezone.utc)  # fixed for determinism
 SUMMARY_MAX_WORDS = 250   # node_operations.py:295-381 (≤250-word summary)
 
+# Below this input size the eager-materialization barriers (which exist to
+# stop multi-consumer branches recomputing a shared subtree through a cold
+# cache — a race that costs minutes at 10^7 rows) cost more fixed latency
+# than the recompute they prevent: at 5×10^4 rows recomputing the subtree
+# 3× is milliseconds while each count() barrier is a full scheduled job.
+EAGER_MIN_ROWS = 1_000_000
+
 
 @dataclass
 class GraphTables:
@@ -50,7 +57,8 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                 store: TableStore | None = None,
                 run_ts: datetime = RUN_TS,
                 fingerprint_extra: str = "",
-                with_embeddings: bool = False) -> GraphTables:
+                with_embeddings: bool = False,
+                eager: bool | None = None) -> GraphTables:
     """Run the full pipeline. With a `store`, every stage is materialized
     and resumable; without, stages persist in memory.
 
@@ -63,6 +71,15 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     fp = _fingerprint(v=1, run_ts=run_ts, extra=fingerprint_extra,
                       emb=with_embeddings)
 
+    # Adaptive eagerness: one zero-column count() on the raw input (parquet
+    # footer metadata — cheap even at 10^7 rows) decides whether the
+    # multi-consumer stages pay their materialization barrier. Large input
+    # → eager (the sf20 cold-cache race cost 200s→127s at local[8]);
+    # small input → lazy persist only (the barriers alone added ~7s of
+    # fixed latency to an 11s sf0.1 run).
+    if eager is None:
+        eager = transcripts.count() >= EAGER_MIN_ROWS
+
     # Partition the input by conversation BEFORE any compute: a single
     # parquet file (or an AQE-coalesced shuffle) would otherwise serialize
     # the pandas-UDF extraction stages. Explicit numPartitions (2-3× cores)
@@ -71,20 +88,20 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
     transcripts = transcripts.repartition(n_part, "conv_id")
 
-    def stage(name: str, build, partition_by=None, eager: bool = True
+    def stage(name: str, build, partition_by=None, barrier: bool = True
               ) -> DataFrame:
         if store is None:
-            # Storeless mode: persist AND (for multi-consumer stages)
-            # materialize eagerly. A lazy persist is not enough there — the
-            # first action would pull several branches (e.g. the blocking
-            # self-join's two sides) through the cold cache concurrently,
-            # computing the shared subtree more than once before any
-            # partition lands in cache. Leaf outputs stay lazy so callers
-            # that never touch them (throughput runs consuming only
-            # `edges`) don't pay for them.
+            # Storeless mode: persist AND (for multi-consumer stages, at
+            # large scale) materialize eagerly. A lazy persist is not
+            # enough there — the first action would pull several branches
+            # (e.g. the blocking self-join's two sides) through the cold
+            # cache concurrently, computing the shared subtree more than
+            # once before any partition lands in cache. Leaf outputs stay
+            # lazy so callers that never touch them (throughput runs
+            # consuming only `edges`) don't pay for them.
             from pyspark.storagelevel import StorageLevel
             df = build().persist(StorageLevel.MEMORY_AND_DISK)
-            if eager:
+            if barrier and eager:
                 df.count()
             return df
         return store.stage(name, fp, build, partition_by)
@@ -100,10 +117,10 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     # but unmaterialized): one fewer barrier each; the cold-cache race
     # only affects multi-consumer subtrees.
     mentions = stage("mentions", lambda: extract.extract_mentions(episodes),
-                     eager=False)
+                     barrier=False)
     edges_raw = stage("edges_raw",
                       lambda: extract.extract_edges(episodes, run_ts),
-                      eager=False)
+                      barrier=False)
 
     _canon: dict = {}
 
@@ -133,7 +150,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
             canonical.uuid == F.col("canonical_uuid"), "left"
         ).drop("canonical_uuid")
 
-    entities = stage("entities", build_entities, eager=False)
+    entities = stage("entities", build_entities, barrier=False)
 
     def build_edges():
         remapped = dedup.resolve_edge_pointers(edges_raw, uuid_map)
@@ -141,7 +158,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
         # E4 typed attributes flow from the extraction rules (template
         # slots like FOUNDED year, temporal adjuncts, JSON field names)
         # through dedup (first-resolved-edge's map wins) — not overwritten.
-        out = versioning.apply_versioning(deduped, run_ts)
+        out = versioning.apply_versioning(deduped, run_ts, eager=eager)
         if with_embeddings:
             out = out.withColumn("fact_embedding",
                                  extract.embed_udf(F.col("fact")))
@@ -167,7 +184,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                     F.lit(run_ts).cast("timestamp").alias("created_at")))
 
     episodic_edges = stage("episodic_edges", build_episodic_edges,
-                           eager=False)
+                           barrier=False)
 
     def build_summaries():
         # E4 deterministic stand-in: summary = chronological concat of the
@@ -205,7 +222,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                                  extract.embed_udf(F.col("name_norm")))
         return out
 
-    entities_final = stage("entities_final", build_summaries, eager=False)
+    entities_final = stage("entities_final", build_summaries, barrier=False)
 
     if store is not None:
         store.flush_lineage()
