@@ -86,12 +86,103 @@ def duplicate_decision(name_a, name_b) -> F.Column:
             | (cos >= F.lit(rules.NODE_COSINE_THRESHOLD)))
 
 
-def duplicate_pairs(entities: DataFrame) -> DataFrame:
-    """Blocking + verify → confirmed duplicate pairs (whole-stage codegen,
-    no Python in the path)."""
+def cosine_cols(a, b) -> F.Column:
+    """Pairwise cosine of two array<float> columns, entirely JVM-side
+    (zip_with dot product + aggregate norms — F4, no Python)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def duplicate_pairs(entities: DataFrame,
+                    emb_col: str | None = None) -> DataFrame:
+    """Blocking + verify → confirmed duplicate pairs.
+
+    Default (``emb_col=None``): token blocking + token-cosine verify,
+    whole-stage codegen, no Python in the path. For our hash embeddings
+    token-cosine equals embedding-cosine by construction, but an EXTERNAL
+    embedding model breaks that identity (``bulk_utils.py:236-241``
+    verifies with real embedding cosine) — so when an embedding column is
+    supplied the verify branch uses pairwise JVM ``cosine_cols`` at the
+    reference's 0.8 node threshold (``bulk_utils.py:208``), and the
+    candidate set is widened with sign-LSH buckets over the embeddings
+    (``operators/ann.py``): a real-embedding duplicate may share NO name
+    token ('IBM' vs 'International Business Machines'), which the token
+    block alone would miss. Both blocks stay group-scoped equi-joins —
+    the 100 TB-safe shape."""
     cand = candidate_pairs(entities)
-    return (cand.where(duplicate_decision(F.col("name_a"), F.col("name_b")))
-                .select("group_id", "uuid_a", "uuid_b"))
+    if emb_col is None:
+        return (cand.where(duplicate_decision(F.col("name_a"),
+                                              F.col("name_b")))
+                    .select("group_id", "uuid_a", "uuid_b"))
+
+    from graphiti_spark.operators import ann
+    buckets = (ann.signlsh_buckets(entities, n_planes=12, id_col="uuid",
+                                   emb_col=emb_col)
+               .join(entities.select("uuid", "group_id"), "uuid"))
+    ba = buckets.select("group_id", "bucket", F.col("uuid").alias("uuid_a"))
+    bb = buckets.select("group_id", "bucket", F.col("uuid").alias("uuid_b"))
+    lsh_cand = (ba.join(bb, ["group_id", "bucket"])
+                .where(F.col("uuid_a") < F.col("uuid_b"))
+                .drop("bucket"))
+    names = entities.select("uuid", "name_norm")
+    lsh_cand = (lsh_cand
+                .join(names.select(F.col("uuid").alias("uuid_a"),
+                                   F.col("name_norm").alias("name_a")),
+                      "uuid_a")
+                .join(names.select(F.col("uuid").alias("uuid_b"),
+                                   F.col("name_norm").alias("name_b")),
+                      "uuid_b"))
+    all_cand = (cand.select("group_id", "uuid_a", "uuid_b",
+                            "name_a", "name_b")
+                .unionByName(lsh_cand.select("group_id", "uuid_a", "uuid_b",
+                                             "name_a", "name_b"))
+                .dropDuplicates(["group_id", "uuid_a", "uuid_b"]))
+    embs = entities.select("uuid", emb_col)
+    all_cand = (all_cand
+                .join(embs.select(F.col("uuid").alias("uuid_a"),
+                                  F.col(emb_col).alias("_ea")), "uuid_a")
+                .join(embs.select(F.col("uuid").alias("uuid_b"),
+                                  F.col(emb_col).alias("_eb")), "uuid_b"))
+    ta, tb = _tok(F.col("name_a")), _tok(F.col("name_b"))
+    subset = (F.size(F.array_except(ta, tb)) == 0) | \
+             (F.size(F.array_except(tb, ta)) == 0)
+    is_dup = ((F.col("name_a") == F.col("name_b")) | subset
+              | (cosine_cols(F.col("_ea"), F.col("_eb"))
+                 >= F.lit(rules.NODE_COSINE_THRESHOLD)))
+    return all_cand.where(is_dup).select("group_id", "uuid_a", "uuid_b")
+
+
+def edge_duplicate_pairs(edges: DataFrame,
+                         emb_col: str = "fact_embedding") -> DataFrame:
+    """J2 with real embeddings: duplicate-edge candidates ONLY between
+    edges with identical (source, target) endpoints (the pair guard,
+    ``bulk_utils.py:318-321``) verified by fact-embedding cosine ≥ 0.6
+    (``bulk_utils.py:297``) or fact word overlap. A pure equi-join on
+    (group_id, src, dst) + JVM cosine predicate — no O(n²), no Python."""
+    keyed = edges.select("group_id", "source_node_uuid", "target_node_uuid",
+                         "uuid", "fact", F.col(emb_col))
+    a = keyed.select("group_id", "source_node_uuid", "target_node_uuid",
+                     F.col("uuid").alias("uuid_a"),
+                     F.col("fact").alias("fact_a"),
+                     F.col(emb_col).alias("_ea"))
+    b = keyed.select("group_id", "source_node_uuid", "target_node_uuid",
+                     F.col("uuid").alias("uuid_b"),
+                     F.col("fact").alias("fact_b"),
+                     F.col(emb_col).alias("_eb"))
+    ta, tb = _tok(F.lower(F.col("fact_a"))), _tok(F.lower(F.col("fact_b")))
+    overlap = F.size(F.array_intersect(ta, tb)) > 0
+    return (a.join(b, ["group_id", "source_node_uuid", "target_node_uuid"])
+            .where(F.col("uuid_a") < F.col("uuid_b"))
+            .where(overlap
+                   | (cosine_cols(F.col("_ea"), F.col("_eb"))
+                      >= F.lit(rules.EDGE_COSINE_THRESHOLD)))
+            .select("group_id", "source_node_uuid", "target_node_uuid",
+                    "uuid_a", "uuid_b"))
 
 
 def connected_components(vertices: DataFrame, pairs: DataFrame,
@@ -270,7 +361,9 @@ def grouped_uuid_map(entities: DataFrame, max_full_pairwise: int = 200
 
 
 def canonicalize_entities(entities: DataFrame, run_ts,
-                          grouped: bool = True) -> tuple[DataFrame, DataFrame]:
+                          grouped: bool = True,
+                          emb_col: str | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
     """→ (canonical_entities, uuid_map).
 
     uuid_map: (uuid, canonical_uuid) for every raw entity. Canonical row
@@ -282,8 +375,20 @@ def canonicalize_entities(entities: DataFrame, run_ts,
     ``grouped=True`` (default) uses the single-shuffle per-group
     union-find (:func:`grouped_uuid_map`); ``grouped=False`` runs the
     blocking join + global iterative CC — same semantics, kept for graphs
-    whose duplicate relation is not partition-scoped."""
-    if grouped:
+    whose duplicate relation is not partition-scoped.
+
+    ``emb_col`` (opt-in) switches the duplicate verify to REAL embedding
+    cosine at the 0.8 threshold (``bulk_utils.py:208,236-241``) with
+    sign-LSH blocking — use when ``entities`` carries an external model's
+    embeddings, whose cosine is NOT the token cosine. Implies the
+    blocking-join + iterative-CC path (duplicates found through a shared
+    LSH bucket are still group-scoped, but the in-UDF union-find only
+    knows token rules)."""
+    if emb_col is not None:
+        pairs = duplicate_pairs(entities, emb_col=emb_col)
+        cc = connected_components(entities.select("uuid"), pairs)
+        uuid_map = cc.select("uuid", F.col("component").alias("canonical_uuid"))
+    elif grouped:
         uuid_map = grouped_uuid_map(entities)
     else:
         pairs = duplicate_pairs(entities)

@@ -46,36 +46,48 @@ def tokens_col(col) -> F.Column:
 
 
 def bm25_lite_search(df: DataFrame, text_col: str, query: str,
-                     id_col: str = "uuid", k1: float = 1.2,
+                     id_col: str = "uuid", k1: float = 1.2, b: float = 0.75,
                      limit: int = 2 * DEFAULT_SEARCH_LIMIT) -> DataFrame:
-    """Q1/Q4/Q5 fulltext search: tf·idf over a token equi-join.
+    """Q1/Q4/Q5 fulltext search: full BM25 over a token equi-join.
 
-    idf computed from the corpus itself (doc-frequency aggregation); score
-    monotone in BM25 with b=0 (no length norm — reference relies on
-    Lucene's defaults; ours stays a pure groupBy/join pipeline)."""
+    idf computed from the corpus itself (doc-frequency aggregation);
+    ``b`` is Lucene's length-normalization knob (the reference's fulltext
+    indexes rely on Lucene defaults, where b=0.75 — ``graph_queries.py``
+    index DDL); b=0 recovers the un-normalized round-2 scorer. Doc length
+    rides through the existing explode (a size() column carried into the
+    tf groupBy) and avgdl folds into the same 1-row corpus-stats broadcast
+    as N — still zero extra jobs or scans."""
     q_tokens = [t for t in
                 "".join(c.lower() if c.isalnum() else " " for c in query)
                 .split() if t]
     if not q_tokens:
         return df.select(F.col(id_col).alias("uuid")).limit(0) \
                  .withColumn("score", F.lit(0.0))
-    # Corpus size folded into the plan as a 1-row broadcast aggregate —
-    # no separate count() action/scan per search call.
-    n_docs_df = df.select(F.count("*").cast("double").alias("_n_docs"))
-    toks = (df.select(id_col, F.explode(tokens_col(F.col(text_col)))
-                      .alias("tok")))
+    # Corpus size + average doc length folded into the plan as a 1-row
+    # broadcast aggregate — no separate count() action/scan per search.
+    stats_df = df.select(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.coalesce(F.avg(F.size(tokens_col(F.col(text_col)))),
+                   F.lit(1.0)).alias("_avgdl"))
+    toks = (df.select(id_col,
+                      F.size(tokens_col(F.col(text_col)))
+                       .cast("double").alias("_dl"),
+                      F.explode(tokens_col(F.col(text_col))).alias("tok")))
     qdf = toks.sparkSession.createDataFrame(
         [(t,) for t in set(q_tokens)], ["tok"])
     tf = (toks.join(F.broadcast(qdf), "tok")
-          .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
+          .groupBy(id_col, "tok").agg(F.count("*").alias("tf"),
+                                      F.max("_dl").alias("_dl")))
     df_freq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    norm = F.lit(1.0 - b) + F.lit(b) * F.col("_dl") \
+        / F.greatest(F.col("_avgdl"), F.lit(1e-9))
     scored = (tf.join(F.broadcast(df_freq), "tok")
-              .crossJoin(F.broadcast(n_docs_df))
+              .crossJoin(F.broadcast(stats_df))
               .withColumn("idf", F.log(
                   (F.col("_n_docs") - F.col("df") + 0.5)
                   / (F.col("df") + 0.5) + 1.0))
               .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1))
-                          / (F.col("tf") + k1))
+                          / (F.col("tf") + k1 * norm))
               .groupBy(id_col).agg(F.sum("w").alias("score")))
     return (scored.select(F.col(id_col).alias("uuid"), "score")
             .orderBy(F.col("score").desc(), "uuid").limit(limit))
@@ -233,12 +245,41 @@ def cross_encoder_rank(df: DataFrame, text_col: str, query: str,
             .orderBy(F.col("score").desc(), "uuid"))
 
 
+def _mmr_greedy(embs, query_vec, mmr_lambda: float, limit: int):
+    """Numpy core of F5 greedy MMR (``search_utils.py:968-1006``):
+    mmr = λ·sim(q, c) + (λ-1)·max_sim(c, selected). Returns (selected
+    indices, their scores) in selection order."""
+    import numpy as np
+
+    norms = np.linalg.norm(embs, axis=1)
+    norms[norms == 0] = 1.0
+    embs = embs / norms[:, None]
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    rel = embs @ q
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(embs)))
+    while remaining and len(selected) < limit:
+        if selected:
+            max_sim = np.max(embs[remaining] @ embs[selected].T, axis=1)
+        else:
+            max_sim = np.zeros(len(remaining))
+        mmr = mmr_lambda * rel[remaining] + (mmr_lambda - 1) * max_sim
+        best = int(np.argmax(mmr))
+        idx = remaining.pop(best)
+        scores.append(float(mmr[best]))
+        selected.append(idx)
+    return selected, scores
+
+
 def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
                mmr_lambda: float = MMR_LAMBDA,
                limit: int = DEFAULT_SEARCH_LIMIT) -> DataFrame:
-    """F5 maximal-marginal-relevance: greedy per-query selection
-    (``search_utils.py:968-1006``). Candidate sets are small (≤2×limit per
-    method) so the greedy loop runs in a grouped pandas UDF batch."""
+    """F5 maximal-marginal-relevance for ONE query: driver-side greedy
+    selection (``search_utils.py:968-1006``). Candidate sets are small
+    (≤2×limit per method). For batches of many queries use
+    :func:`mmr_rerank_grouped`, which keeps the loop on the executors."""
     import numpy as np
     import pandas as pd
 
@@ -255,29 +296,52 @@ def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
         return candidates.sparkSession.createDataFrame(
             [], "uuid string, score double")
     embs = np.array([np.asarray(v, dtype=np.float64) for v in rows[emb_col]])
-    norms = np.linalg.norm(embs, axis=1)
-    norms[norms == 0] = 1.0
-    embs = embs / norms[:, None]
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / (np.linalg.norm(q) or 1.0)
-    rel = embs @ q
-    selected: list[int] = []
-    scores: dict[int, float] = {}
-    remaining = list(range(len(rows)))
-    while remaining and len(selected) < limit:
-        if selected:
-            max_sim = np.max(embs[remaining] @ embs[selected].T, axis=1)
-        else:
-            max_sim = np.zeros(len(remaining))
-        mmr = mmr_lambda * rel[remaining] + (mmr_lambda - 1) * max_sim
-        best = int(np.argmax(mmr))
-        idx = remaining.pop(best)
-        scores[idx] = float(mmr[best])
-        selected.append(idx)
+    selected, scores = _mmr_greedy(embs, query_vec, mmr_lambda, limit)
     out = pd.DataFrame({
         "uuid": [rows.uuid[i] for i in selected],
-        "score": [scores[i] for i in selected]})
+        "score": scores})
     return candidates.sparkSession.createDataFrame(out)
+
+
+def mmr_rerank_grouped(candidates: DataFrame, queries: DataFrame,
+                       emb_col: str = "embedding",
+                       mmr_lambda: float = MMR_LAMBDA,
+                       limit: int = DEFAULT_SEARCH_LIMIT) -> DataFrame:
+    """F5 MMR for a BATCH of queries as one distributed job (SURVEY §2.8:
+    per-query grouped execution). ``candidates``: (query_id, uuid,
+    emb_col); ``queries``: (query_id, query_vec: array<float/double>).
+
+    The greedy loop runs inside ``applyInPandas`` keyed by query_id — each
+    query's ≤2×limit candidate set is one Arrow batch on an executor, so a
+    thousand-query batch fans out across the cluster with no driver
+    collect (the round-2 version serialized every query through the
+    driver). The query vector is broadcast-joined onto its candidate rows
+    (one small-side hash join, no shuffle of the query table)."""
+    import pandas as pd
+
+    joined = candidates.join(
+        F.broadcast(queries.select("query_id",
+                                   F.col("query_vec").alias("_qv"))),
+        "query_id")
+    q_type = dict(joined.dtypes)["query_id"]
+    schema = f"query_id {q_type}, uuid string, score double, rn int"
+
+    def one_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "uuid": [], "score": [], "rn": []})
+        embs = np.array([np.asarray(v, dtype=np.float64)
+                         for v in pdf[emb_col]])
+        qv = np.asarray(pdf["_qv"].iloc[0], dtype=np.float64)
+        sel, scores = _mmr_greedy(embs, qv, mmr_lambda, limit)
+        return pd.DataFrame({
+            "query_id": [pdf["query_id"].iloc[0]] * len(sel),
+            "uuid": [pdf["uuid"].iloc[sel_i] for sel_i in sel],
+            "score": scores,
+            "rn": list(range(1, len(sel) + 1))})
+
+    return joined.groupBy("query_id").applyInPandas(one_query, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -993,10 +993,30 @@ def q_kg_build_edges(spark, sf_dir):
 
 
 def q_embedding_knn_ivf(spark, sf_dir):
+    """IVF ANN run at nprobe = n_cells (exhaustive probe): every cell is
+    scanned, so the result is provably independent of the Lloyd-step
+    centroids (any float wobble in the coarse quantizer changes only WHICH
+    cell a vector sits in, never whether it is scanned) and must equal
+    brute force exactly — which makes SQL_EMBEDDING_KNN a valid oracle for
+    the whole IVF plan shape (cell partitioning, probe join, in-cell
+    rerank). The pruned scale path (nprobe < n_cells) is
+    ``embedding_knn_ivf_pruned`` below, rows-only + pytest recall gate."""
+    from graphiti_spark.operators import ann
+    e = load(spark, sf_dir, "embeddings")
+    queries = (e.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    cents, assign = ann.build_ivf(e, n_cells=8)
+    return ann.ivf_knn(e, queries, cents, assign, k=5, nprobe=8)
+
+
+def q_embedding_knn_ivf_pruned(spark, sf_dir):
     """IVF-pruned ANN (the 100 TB scale path): coarse-quantizer cells →
     probe top-4 of 8 → exact rerank inside. Deterministic but iterative
-    (Lloyd step) → rows-only check; pytest asserts recall vs brute force
-    and exactness at nprobe=n_cells."""
+    (Lloyd step float avg) → no SQL oracle; pytest asserts recall vs
+    brute force (tests/test_ann.py). Kept out of the driver QUERIES dict
+    so the only rows-only driver entry is kg_build_edges; the oracle-
+    checked exhaustive probe (q_embedding_knn_ivf) exercises the same
+    IVF plan shape end-to-end."""
     from graphiti_spark.operators import ann
     e = load(spark, sf_dir, "embeddings")
     queries = (e.where(F.col("vec_id") < 10)
@@ -1202,7 +1222,10 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
-    # kg_build_edges: iterative CC → no SQL oracle (rows-only check).
-    # embedding_knn_ivf: iterative Lloyd step → rows-only; pytest asserts
-    # recall vs brute force and exactness at nprobe=n_cells.
+    # At nprobe = n_cells IVF scans every cell, so its result is
+    # centroid-independent and exactly brute force — same oracle.
+    "embedding_knn_ivf": SQL_EMBEDDING_KNN,
+    # kg_build_edges: iterative CC → no SQL oracle (rows-only check) —
+    # the single rows-only driver entry. The pruned-probe IVF variant
+    # (q_embedding_knn_ivf_pruned) stays pytest-gated for recall.
 }

@@ -117,3 +117,82 @@ def test_resolve_edge_pointers_drops_self_loops(spark):
     # e1 becomes x→x (self) and is dropped; e2 stays x→z
     assert [(r["uuid"], r["source_node_uuid"], r["target_node_uuid"])
             for r in out] == [("e2", "x", "z")]
+
+
+def _emb_entities_df(spark, rows, group="g"):
+    """rows: list of (name, embedding list[float])."""
+    data = [(rules.entity_uuid(group, n), n, group, ["Entity"],
+             RUN_TS.replace(tzinfo=None), i, [float(x) for x in e])
+            for i, (n, e) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "uuid string, name string, group_id string,"
+              " labels array<string>, created_at timestamp,"
+              " first_turn int, emb array<float>")
+    return df.withColumn("name_norm", norm_name_col(F.col("name")))
+
+
+def test_embedding_cosine_branch_disagrees_with_token_cosine(spark):
+    """bulk_utils.py:236-241 verifies with REAL embedding cosine; token
+    cosine is only its stand-in for hash embeddings. Case where the two
+    disagree: 'Alpha Beta' vs 'Alpha Gamma' has token cosine 0.5 (< 0.8,
+    not a token-duplicate) but the external model says 0.995."""
+    near = [1.0, 0.1, 0.0, 0.0]
+    ents = _emb_entities_df(spark, [
+        ("Alpha Beta", [1.0, 0.0, 0.0, 0.0]),
+        ("Alpha Gamma", near),
+        ("Acme Corp", [0.0, 1.0, 0.0, 0.0]),
+        ("Acme Inc", [0.0, 0.0, 1.0, 0.0]),     # orthogonal to 'Acme Corp'
+    ])
+    ab = rules.entity_uuid("g", "Alpha Beta")
+    ag = rules.entity_uuid("g", "Alpha Gamma")
+    # token path: neither pair is a duplicate (cos 0.5, no subset)
+    tok_pairs = {(r["uuid_a"], r["uuid_b"])
+                 for r in dedup.duplicate_pairs(ents).collect()}
+    assert not tok_pairs
+    # embedding path: the cosine-similar pair merges, the orthogonal
+    # 'Acme *' pair (same token overlap!) does not
+    emb_pairs = {(r["uuid_a"], r["uuid_b"])
+                 for r in dedup.duplicate_pairs(ents, emb_col="emb").collect()}
+    assert emb_pairs == {(min(ab, ag), max(ab, ag))}
+
+
+def test_embedding_branch_finds_cross_token_duplicates_via_lsh(spark):
+    """A real-embedding duplicate can share NO name token — the sign-LSH
+    bucket join must supply the candidate the token block cannot."""
+    v = [0.3, -0.7, 0.2, 0.9]
+    ents = _emb_entities_df(spark, [
+        ("IBM", v),
+        ("International Business Machines", list(v)),   # identical vector
+        ("Pepsi", [-0.9, 0.4, 0.1, -0.2]),
+    ])
+    u1 = rules.entity_uuid("g", "IBM")
+    u2 = rules.entity_uuid("g", "International Business Machines")
+    assert not dedup.duplicate_pairs(ents).collect()     # no shared token
+    emb_pairs = {(r["uuid_a"], r["uuid_b"])
+                 for r in dedup.duplicate_pairs(ents, emb_col="emb").collect()}
+    assert emb_pairs == {(min(u1, u2), max(u1, u2))}
+    # end-to-end: canonicalize with the embedding branch merges them
+    merged, umap = dedup.canonicalize_entities(ents, RUN_TS, emb_col="emb")
+    m = {r["uuid"]: r["canonical_uuid"] for r in umap.collect()}
+    assert m[u1] == m[u2] == min(u1, u2)
+    assert m[rules.entity_uuid("g", "Pepsi")] == rules.entity_uuid("g", "Pepsi")
+
+
+def test_edge_duplicate_pairs_pair_guard_and_threshold(spark):
+    """J2: candidates ONLY between identical (src, dst) endpoints
+    (bulk_utils.py:318-321), verified at fact-cosine >= 0.6
+    (bulk_utils.py:297) or fact word overlap."""
+    rows = [
+        # uuid, src, dst, fact, emb
+        ("e1", "a", "b", "alpha", [1.0, 0.0, 0.0]),
+        ("e2", "a", "b", "beta", [0.9, 0.3, 0.0]),    # cos≈0.95 with e1
+        ("e3", "a", "b", "gamma", [0.0, 0.0, 1.0]),   # orthogonal, no overlap
+        ("e4", "a", "c", "alpha", [1.0, 0.0, 0.0]),   # same fact, other dst
+    ]
+    edges = spark.createDataFrame(
+        [("g", s, d, u, f, e) for u, s, d, f, e in rows],
+        "group_id string, source_node_uuid string, target_node_uuid string,"
+        " uuid string, fact string, fact_embedding array<float>")
+    pairs = {(r["uuid_a"], r["uuid_b"])
+             for r in dedup.edge_duplicate_pairs(edges).collect()}
+    assert pairs == {("e1", "e2")}   # e4 blocked by pair guard, e3 by cosine

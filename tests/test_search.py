@@ -200,3 +200,65 @@ def test_hybrid_search_with_bfs_method(spark, edges_df):
                               min_score=0.2),
         edges=edges_df, origin_uuids=["carol"])
     assert {r["uuid"] for r in out.collect()} >= {"e4"}
+
+
+def test_bm25_length_normalization(spark):
+    """b=0.75 (Lucene default) penalizes long docs; b=0 recovers the
+    un-normalized scorer. Checked against the closed-form BM25 weight."""
+    import math
+    docs = [("short", "alice"),
+            ("long", "alice " + " ".join(f"filler{i}" for i in range(20)))]
+    df = spark.createDataFrame(docs, ["uuid", "text"])
+    out = {r["uuid"]: r["score"]
+           for r in S.bm25_lite_search(df, "text", "alice").collect()}
+    assert out["short"] > out["long"]
+    # closed form: idf = ln((N - df + .5)/(df + .5) + 1); N=2, df=2
+    k1, b = 1.2, 0.75
+    idf = math.log((2 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    avgdl = (1 + 21) / 2
+    for uuid, dl in (("short", 1.0), ("long", 21.0)):
+        w = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * dl / avgdl))
+        assert abs(out[uuid] - w) < 1e-9
+    # b=0: both docs have tf=1 → identical scores
+    flat = {r["uuid"]: r["score"]
+            for r in S.bm25_lite_search(df, "text", "alice", b=0.0).collect()}
+    assert abs(flat["short"] - flat["long"]) < 1e-12
+
+
+def test_mmr_grouped_matches_driver_path(spark):
+    """F5 as a grouped pandas UDF: a 100-query batch runs distributed
+    (FlatMapGroupsInPandas in the plan, no driver collect) and each
+    query's selection equals the single-query driver-path MMR."""
+    import random
+    rng = random.Random(7)
+    cand_rows, query_rows = [], []
+    for q in range(100):
+        qv = [rng.uniform(-1, 1) for _ in range(8)]
+        query_rows.append((q, qv))
+        for c in range(12):
+            emb = [rng.uniform(-1, 1) for _ in range(8)]
+            cand_rows.append((q, f"q{q}c{c}", emb))
+    cands = spark.createDataFrame(
+        cand_rows, "query_id int, uuid string, embedding array<double>")
+    queries = spark.createDataFrame(
+        query_rows, "query_id int, query_vec array<double>")
+    grouped = S.mmr_rerank_grouped(cands, queries, limit=5)
+    assert "FlatMapGroupsInPandas" in grouped._jdf.queryExecution() \
+        .executedPlan().toString()
+    rows = grouped.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(100))
+    for q, rs in by_q.items():
+        assert [r["rn"] for r in sorted(rs, key=lambda r: r["rn"])] == \
+            list(range(1, 6))
+    # spot-check equivalence with the driver-side single-query path
+    for q in (0, 37, 99):
+        single = S.mmr_rerank(
+            cands.where(F.col("query_id") == q).select("uuid", "embedding"),
+            "embedding", query_rows[q][1], limit=5).collect()
+        batch = sorted(by_q[q], key=lambda r: r["rn"])
+        assert [r["uuid"] for r in single] == [r["uuid"] for r in batch]
+        for a, c in zip(single, batch):
+            assert abs(a["score"] - c["score"]) < 1e-9
