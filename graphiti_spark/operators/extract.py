@@ -43,6 +43,20 @@ def extract_mentions_udf(content: pd.Series, source: pd.Series) -> pd.Series:
          for c, s in zip(content, source)], dtype=object)
 
 
+def extract_mentions_udf_for(ontology):
+    """E6: the mention UDF bound to a custom
+    :class:`~graphiti_spark.ontology.Ontology` (caller templates +
+    excluded types). The ontology object (compiled regexes included)
+    pickles into the UDF closure and ships to executors once per stage."""
+    @F.pandas_udf(T.ArrayType(MENTION))
+    def _udf(content: pd.Series, source: pd.Series) -> pd.Series:
+        return pd.Series(
+            [rules.extract_mentions(c or "", s or rules.SOURCE_MESSAGE,
+                                    ontology)
+             for c, s in zip(content, source)], dtype=object)
+    return _udf
+
+
 # Combined single-pass extraction: mentions + triples from one scan of the
 # content (one Python stage instead of two full Arrow round-trips).
 COMBINED = T.StructType([
@@ -93,6 +107,28 @@ def extract_triples_udf(content: pd.Series, ts: pd.Series,
     return pd.Series(out, dtype=object)
 
 
+def extract_triples_udf_for(ontology):
+    """E6: the triple UDF bound to a custom ontology (see
+    :func:`extract_mentions_udf_for`)."""
+    @F.pandas_udf(T.ArrayType(TRIPLE))
+    def _udf(content: pd.Series, ts: pd.Series,
+             source: pd.Series) -> pd.Series:
+        out = []
+        for c, t, s in zip(content, ts, source):
+            t_aware = (None if pd.isna(t)
+                       else pd.Timestamp(t).tz_localize("UTC"))
+            rows = rules.extract_triples(c or "", t_aware,
+                                         s or rules.SOURCE_MESSAGE,
+                                         ontology)
+            out.append([
+                {**r, "valid_at": _naive_utc(r["valid_at"]),
+                 "invalid_at": _naive_utc(r["invalid_at"])}
+                for r in rows
+            ])
+        return pd.Series(out, dtype=object)
+    return _udf
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def embed_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda s: tx.embed_text(s or "").tolist())
@@ -139,14 +175,15 @@ def edges_from_combined(combined: DataFrame, run_ts) -> DataFrame:
     return _finish_raw_edges(t, run_ts)
 
 
-def extract_mentions(episodes: DataFrame) -> DataFrame:
+def extract_mentions(episodes: DataFrame, ontology=None) -> DataFrame:
     """episodes → exploded mentions (group_id, episode_uuid, turn_idx,
     name, name_norm, entity_type_id, entity_uuid). One row per distinct
-    mention per episode."""
+    mention per episode. ``ontology`` (E6) swaps in a custom rule set."""
+    udf = (extract_mentions_udf if ontology is None
+           else extract_mentions_udf_for(ontology))
     return (
         episodes
-        .withColumn("m", F.explode(extract_mentions_udf(F.col("content"),
-                                                        F.col("source"))))
+        .withColumn("m", F.explode(udf(F.col("content"), F.col("source"))))
         .select(
             "group_id",
             F.col("uuid").alias("episode_uuid"),
@@ -184,19 +221,23 @@ def raw_entities(mentions: DataFrame, run_ts: datetime) -> DataFrame:
     )
 
 
-def extract_edges(episodes: DataFrame, run_ts: datetime) -> DataFrame:
+def extract_edges(episodes: DataFrame, run_ts: datetime,
+                  ontology=None) -> DataFrame:
     """episodes → raw (pre-canonicalization) entity edges.
 
     Endpoint uuids are computed directly (sha1 of normalized surface form),
     matching the mention-side ids — the reference's resolve-by-index join
     (``edge_operations.py:182-209``) collapses into column expressions.
     Negation rows ("no longer ...") carry invalid_at and a null valid_at.
+    ``ontology`` (E6) swaps in a custom rule set.
     """
+    udf = (extract_triples_udf if ontology is None
+           else extract_triples_udf_for(ontology))
     t = (
         episodes
-        .withColumn("t", F.explode(extract_triples_udf(F.col("content"),
-                                                       F.col("valid_at"),
-                                                       F.col("source"))))
+        .withColumn("t", F.explode(udf(F.col("content"),
+                                       F.col("valid_at"),
+                                       F.col("source"))))
         .select("group_id", F.col("uuid").alias("episode_uuid"), "turn_idx",
                 "t.subj", "t.pred", "t.obj", "t.fact",
                 F.col("t.valid_at").alias("valid_at"),

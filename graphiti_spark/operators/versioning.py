@@ -115,10 +115,18 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
 
 
 def apply_versioning(edges: DataFrame, run_ts: datetime,
-                     eager: bool = True) -> DataFrame:
+                     eager: bool = True, ontology=None) -> DataFrame:
     """Fill invalid_at / expired_at per the T1/T2 rules. Input: output of
     :func:`dedupe_edges`. Output: full EDGES-shaped rows (minus embeddings).
+
+    ``ontology`` (E6) extends the functional/sentiment predicate sets —
+    a custom functional pred gets the same supersede-on-next-fact T1a
+    semantics as the builtins.
     """
+    functional = (FUNCTIONAL if ontology is None
+                  else sorted(ontology.functional_preds))
+    sentiment = (SENTIMENT if ontology is None
+                 else sorted(ontology.sentiment_preds))
     # The input feeds three branches (pos, neg, pos_keys) — persist AND
     # (at scale) materialize eagerly: a lazy persist lets the branches pull
     # the upstream dedupe/remap chain through the cold cache concurrently,
@@ -136,7 +144,7 @@ def apply_versioning(edges: DataFrame, run_ts: datetime,
     w_func = (Window.partitionBy("group_id", "source_node_uuid", "name")
               .orderBy(F.col("valid_at").asc_nulls_last(), F.col("uuid")))
     cand_func = F.when(
-        F.col("name").isin(FUNCTIONAL),
+        F.col("name").isin(functional),
         F.lead("valid_at").over(w_func)).otherwise(F.lit(None))
 
     # T1b — sentiment contradiction per (src, dst): opposite pred later.
@@ -146,7 +154,7 @@ def apply_versioning(edges: DataFrame, run_ts: datetime,
     lead_pred = F.lead("name").over(w_sent)
     lead_valid = F.lead("valid_at").over(w_sent)
     cand_sent = F.when(
-        F.col("name").isin(SENTIMENT) & lead_pred.isin(SENTIMENT)
+        F.col("name").isin(sentiment) & lead_pred.isin(sentiment)
         & (lead_pred != F.col("name")),
         lead_valid).otherwise(F.lit(None))
 

@@ -58,7 +58,8 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                 run_ts: datetime = RUN_TS,
                 fingerprint_extra: str = "",
                 with_embeddings: bool = False,
-                eager: bool | None = None) -> GraphTables:
+                eager: bool | None = None,
+                ontology=None) -> GraphTables:
     """Run the full pipeline. With a `store`, every stage is materialized
     and resumable; without, stages persist in memory.
 
@@ -68,8 +69,13 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     (dedup verifies via token-cosine, operators/dedup.py), so the default
     keeps ~1 GB/million-rows of Arrow traffic out of the hot path.
     """
+    # Checkpoint fingerprints are ontology-scoped (E6): the same input
+    # extracted under a different rule set must never resume from the
+    # other ontology's materialized stages.
     fp = _fingerprint(v=1, run_ts=run_ts, extra=fingerprint_extra,
-                      emb=with_embeddings)
+                      emb=with_embeddings,
+                      onto=None if ontology is None
+                      else ontology.fingerprint())
 
     # Adaptive eagerness: one zero-column count() on the raw input (parquet
     # footer metadata — cheap even at 10^7 rows) decides whether the
@@ -116,10 +122,13 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     # Single-consumer stages on the throughput path stay lazy (persisted
     # but unmaterialized): one fewer barrier each; the cold-cache race
     # only affects multi-consumer subtrees.
-    mentions = stage("mentions", lambda: extract.extract_mentions(episodes),
+    mentions = stage("mentions",
+                     lambda: extract.extract_mentions(episodes,
+                                                      ontology=ontology),
                      barrier=False)
     edges_raw = stage("edges_raw",
-                      lambda: extract.extract_edges(episodes, run_ts),
+                      lambda: extract.extract_edges(episodes, run_ts,
+                                                    ontology=ontology),
                       barrier=False)
 
     _canon: dict = {}
@@ -158,7 +167,8 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
         # E4 typed attributes flow from the extraction rules (template
         # slots like FOUNDED year, temporal adjuncts, JSON field names)
         # through dedup (first-resolved-edge's map wins) — not overwritten.
-        out = versioning.apply_versioning(deduped, run_ts, eager=eager)
+        out = versioning.apply_versioning(deduped, run_ts, eager=eager,
+                                          ontology=ontology)
         if with_embeddings:
             out = out.withColumn("fact_embedding",
                                  extract.embed_udf(F.col("fact")))

@@ -978,6 +978,61 @@ FROM base
 """
 
 
+def q_kg_custom_ontology(spark, sf_dir):
+    """E6 user-suppliable ontology end-to-end: a caller-registered
+    sentence template ("{a} supplies {b}" → SUPPLIES, typed
+    Organization→Product with Product a CUSTOM entity type) drives the
+    real vectorized extraction UDF, and 'Place' is excluded so the
+    default-template "lives in" sentence in the same conversations
+    extracts NOTHING (node_operations.py:157-160 exclusion semantics).
+    The oracle emits only the SUPPLIES rows — if template registration
+    broke the Spark side returns 0 rows, if exclusion broke it returns 2×
+    rows; either way the compare fails."""
+    from graphiti_spark.ontology import Ontology, Template
+    from graphiti_spark.operators.episodes import assemble_episodes
+    from graphiti_spark.operators.extract import extract_edges
+    onto = Ontology(
+        entity_types={"Product": ("category",)},
+        excluded_entity_types=["Place"],
+        templates=[Template("{a} supplies {b}", "SUPPLIES",
+                            subj_type="Organization", obj_type="Product")])
+    p = load(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey"),
+        F.regexp_replace("p_brand", "#", "").alias("brand"),
+        F.col("p_type").alias("ptype"))
+    conv = F.concat(F.lit("pconv"), F.col("p_partkey").cast("string"))
+    ts0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    turns = [
+        (0, "user", F.concat(F.col("brand"), F.lit(" supplies "),
+                             F.col("ptype"), F.lit("."))),
+        (1, "assistant", F.concat(F.col("brand"), F.lit(" lives in "),
+                                  F.col("ptype"), F.lit("."))),
+    ]
+    tr = None
+    for i, role, text in turns:
+        d = base.select(conv.alias("conv_id"),
+                        F.lit(i).cast("int").alias("turn_idx"),
+                        F.lit(role).alias("role"), text.alias("text"),
+                        F.lit(None).cast("string").alias("tool"),
+                        (ts0 + F.expr(f"INTERVAL {i} MINUTES")).alias("ts"))
+        tr = d if tr is None else tr.unionByName(d)
+    raw = extract_edges(assemble_episodes(tr, RUN_TS), RUN_TS,
+                        ontology=onto)
+    return raw.select(F.col("group_id").alias("conv_id"),
+                      "subj", "pred", "obj", "valid_at")
+
+
+SQL_KG_CUSTOM_ONTOLOGY = """
+SELECT 'pconv' || CAST(p_partkey AS VARCHAR) AS conv_id,
+       replace(p_brand, '#', '') AS subj,
+       'SUPPLIES' AS pred,
+       p_type AS obj,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_at
+FROM part
+"""
+
+
 def q_kg_build_edges(spark, sf_dir):
     """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
     dedup → temporal versioning) over derived transcripts with planted
@@ -1184,6 +1239,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
     "kg_fact_dates": q_kg_fact_dates,
+    "kg_custom_ontology": q_kg_custom_ontology,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1219,6 +1275,7 @@ ORACLES = {
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
     "kg_fact_dates": SQL_KG_FACT_DATES,
+    "kg_custom_ontology": SQL_KG_CUSTOM_ONTOLOGY,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,

@@ -109,11 +109,18 @@ def parse_iso_date(s: str) -> datetime | None:
     return dt.astimezone(timezone.utc)
 
 
-def _match_templates(sent: str):
+def _match_templates(sent: str, patterns=None):
     """Match a sentence against the fact templates, first verbatim, then
     with a trailing temporal adjunct peeled off. → (match, pred, mode,
-    type_a, type_b, adjunct_kind, adjunct_dt) or None."""
-    for pat, pred, mode, t_a, t_b in _PATTERNS:
+    type_a, type_b, adjunct_kind, adjunct_dt) or None.
+
+    ``patterns`` (default: the built-in ``_PATTERNS``) is any ordered
+    collection of (compiled, pred, mode, subj_type, obj_type) — a custom
+    :class:`graphiti_spark.ontology.Ontology` supplies its own via
+    ``ontology.patterns`` (E6)."""
+    if patterns is None:
+        patterns = _PATTERNS
+    for pat, pred, mode, t_a, t_b in patterns:
         m = pat.match(sent)
         if m:
             return m, pred, mode, t_a, t_b, None, None
@@ -121,7 +128,7 @@ def _match_templates(sent: str):
     if am:
         dt = parse_iso_date(am.group("d"))
         core = am.group("core").strip()
-        for pat, pred, mode, t_a, t_b in _PATTERNS:
+        for pat, pred, mode, t_a, t_b in patterns:
             m = pat.match(core)
             if m:
                 return m, pred, mode, t_a, t_b, am.group("kind"), dt
@@ -222,7 +229,8 @@ def parse_json_episode(content: str) -> tuple[str | None, list[tuple[str, str]]]
     return clean_text(subject), pairs
 
 
-def extract_mentions(content: str, source: str = SOURCE_MESSAGE) -> list[dict]:
+def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
+                     ontology=None) -> list[dict]:
     """content -> ordered distinct mentions [{name, entity_type_id}].
 
     Deterministic stand-in for ``extract_nodes``
@@ -232,10 +240,20 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE) -> list[dict]:
     fact-slot entities; text = fact-slot entities only (no speaker
     contract); json = subject ('name' field) first, then capitalized
     field values. Empty names filtered; pronouns never matched.
+
+    ``ontology`` (E6, :class:`graphiti_spark.ontology.Ontology`) supplies
+    caller-registered templates and excluded entity types: a mention whose
+    resolved type is excluded is dropped at extraction time, mirroring
+    ``node_operations.py:157-160``.
     """
+    patterns = None if ontology is None else ontology.patterns
+    excluded = (frozenset() if ontology is None
+                else ontology.excluded_entity_types)
     seen: dict[str, dict] = {}
 
     def add(name: str, type_id: str) -> None:
+        if type_id in excluded:
+            return
         name = clean_text(name)
         if not name:
             return
@@ -258,7 +276,7 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE) -> list[dict]:
     if speaker and speaker.lower() not in _GENERIC_SPEAKERS:
         add(speaker, TYPE_SPEAKER)
     for sent in sentences(body):
-        hit = _match_templates(sent)
+        hit = _match_templates(sent, patterns)
         if hit:
             m, _pred, _mode, t_a, t_b, _kind, _dt = hit
             add(m.group("a"), t_a)
@@ -267,7 +285,8 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE) -> list[dict]:
 
 
 def extract_triples(content: str, ts: datetime | None,
-                    source: str = SOURCE_MESSAGE) -> list[dict]:
+                    source: str = SOURCE_MESSAGE,
+                    ontology=None) -> list[dict]:
     """content + episode ts -> fact triples.
 
     Deterministic stand-in for ``extract_edges``
@@ -281,7 +300,15 @@ def extract_triples(content: str, ts: datetime | None,
     ``(name, UPPER(key), value)`` with ``valid_at = ts`` and ``fact`` a
     canonical "<subj> <key>: <value>" rendering. ``source='text'``: the
     sentence templates run over the whole content (no speaker split).
+
+    ``ontology`` (E6): caller templates extend the matcher; a triple
+    whose subject or object slot type is excluded is dropped — the
+    reference never extracts edges to nodes it refused to extract
+    (excluded-type nodes are absent, so endpoint resolution would fail).
     """
+    patterns = None if ontology is None else ontology.patterns
+    excluded = (frozenset() if ontology is None
+                else ontology.excluded_entity_types)
     if source == SOURCE_JSON:
         subject, pairs = parse_json_episode(content)
         out: list[dict] = []
@@ -303,10 +330,12 @@ def extract_triples(content: str, ts: datetime | None,
         _speaker, body = split_speaker(content)
     out = []
     for sent in sentences(body):
-        hit = _match_templates(sent)
+        hit = _match_templates(sent, patterns)
         if hit is None:
             continue
-        m, pred, mode, _t_a, _t_b, adj_kind, adj_dt = hit
+        m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
+        if t_a in excluded or t_b in excluded:
+            continue
         subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
         if not subj or not obj or normalize_name(subj) == normalize_name(obj):
             continue

@@ -131,4 +131,40 @@ def test_resume_reuses_checkpointed_stages(spark, corpus_dir, tmp_path):
 
 def _fp():
     from graphiti_spark.plans.pipeline import RUN_TS, _fingerprint
-    return _fingerprint(v=1, run_ts=RUN_TS, extra="", emb=False)
+    return _fingerprint(v=1, run_ts=RUN_TS, extra="", emb=False, onto=None)
+
+
+def test_build_graph_with_custom_ontology(spark):
+    """E6 end-to-end: build_graph under a custom ontology extracts through
+    the registered template, drops excluded-type entities/edges, and keeps
+    its checkpoint fingerprint distinct from the default ontology's."""
+    from datetime import datetime, timezone
+
+    from graphiti_spark.ontology import Ontology, Template
+    from graphiti_spark.plans import pipeline as P
+
+    onto = Ontology(
+        entity_types={"Product": ("category",)},
+        excluded_entity_types=["Place"],
+        templates=[Template("{a} supplies {b}", "SUPPLIES",
+                            subj_type="Organization", obj_type="Product")],
+        functional_preds=["SUPPLIES"])
+    ts0 = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", "Acme Corp supplies Widget Max.", None, ts0),
+         ("c1", 1, "user", "Bob lives in Paris.", None, ts0)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    g = build_graph(spark, tr, ontology=onto)
+    edges = [(r["subj"], r["name"], r["obj"]) for r in g.edges.collect()]
+    assert edges == [("Acme Corp", "SUPPLIES", "Widget Max")]
+    names = {r["name"]: r["labels"] for r in g.entities.collect()}
+    # Paris (excluded Place) is gone; Bob (non-excluded Person subj of the
+    # dropped edge) is still extracted — node_operations.py:157-160 drops
+    # only excluded-TYPE entities, not their co-mentions.
+    assert "Paris" not in names and "Bob" in names
+    assert names["Widget Max"] == ["Product"]
+    # ontology-scoped fingerprints: stages never alias across rule sets
+    assert P._fingerprint(v=1, run_ts=P.RUN_TS, extra="", emb=False,
+                          onto=onto.fingerprint()) != \
+        P._fingerprint(v=1, run_ts=P.RUN_TS, extra="", emb=False, onto=None)

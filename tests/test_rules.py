@@ -166,3 +166,168 @@ def test_stable_ids_deterministic():
     assert rules.entity_uuid("g", "Alice") == rules.entity_uuid("g", "alice ")
     assert rules.entity_uuid("g1", "Alice") != rules.entity_uuid("g2", "Alice")
     assert len(rules.stable_id("a", "b")) == 32
+
+
+# ---------------------------------------------------------------------------
+# E6 user-suppliable ontology (graphiti_spark.ontology)
+# ---------------------------------------------------------------------------
+
+import pickle
+
+import pytest
+
+from graphiti_spark import ontology as onto_mod
+from graphiti_spark.ontology import (
+    EntityTypeValidationError, GroupIdValidationError, Ontology, Template,
+    validate_entity_types, validate_excluded_entity_types, validate_group_id)
+
+
+def test_reserved_name_rejection():
+    """entity_types_utils.py:21-37: custom attribute fields must not shadow
+    EntityNode's own fields."""
+    with pytest.raises(EntityTypeValidationError) as e:
+        validate_entity_types({"Product": ("name",)})
+    assert e.value.entity_type == "Product" and e.value.field_name == "name"
+    with pytest.raises(EntityTypeValidationError):
+        Ontology(entity_types={"Product": ("category", "group_id")})
+    # non-reserved fields pass
+    assert validate_entity_types({"Product": ("category", "sku")})
+    assert validate_entity_types(None)
+
+
+def test_excluded_type_validation():
+    """helpers.py:150-181: exclusions must name available types."""
+    with pytest.raises(ValueError, match="Nonexistent"):
+        validate_excluded_entity_types(["Nonexistent"])
+    assert validate_excluded_entity_types(["Person", "Place"])
+    assert validate_excluded_entity_types(
+        ["Product"], {"Product": ("category",)})
+    with pytest.raises(ValueError):
+        Ontology(excluded_entity_types=["NoSuchType"])
+
+
+def test_group_id_validation():
+    """helpers.py:128-148: [a-zA-Z0-9_-]+ or empty."""
+    assert validate_group_id("") and validate_group_id("conv_1-a")
+    with pytest.raises(GroupIdValidationError):
+        validate_group_id("bad group!")
+
+
+def test_custom_template_extraction():
+    onto = Ontology(
+        entity_types={"Product": ("category",)},
+        templates=[Template("{a} supplies {b}", "SUPPLIES",
+                            subj_type="Organization", obj_type="Product")])
+    t = rules.extract_triples("user: Acme Corp supplies Widget Max.", TS,
+                              ontology=onto)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Acme Corp", "SUPPLIES", "Widget Max")]
+    assert t[0]["valid_at"] == TS
+    m = {x["name"]: x["entity_type_id"]
+         for x in rules.extract_mentions(
+             "user: Acme Corp supplies Widget Max.", ontology=onto)}
+    assert m == {"Acme Corp": "Organization", "Widget Max": "Product"}
+    # default templates still run alongside the custom one
+    t2 = rules.extract_triples("user: Alice works at Acme Corp.", TS,
+                               ontology=onto)
+    assert t2 and t2[0]["pred"] == "WORKS_AT"
+
+
+def test_custom_template_modes_and_adjuncts():
+    onto = Ontology(templates=[
+        Template("{a} no longer sponsors {b}", "SPONSORS", mode="neg"),
+        Template("{a} sponsors {b}", "SPONSORS"),
+        Template("{a} acquired {b} in {y}", "ACQUIRED", mode="year"),
+    ])
+    neg = rules.extract_triples("user: Acme no longer sponsors Bob.", TS,
+                                ontology=onto)
+    assert neg[0]["invalid_at"] == TS and neg[0]["valid_at"] is None
+    yr = rules.extract_triples("user: Acme acquired Globex in 2019.", TS,
+                               ontology=onto)
+    assert yr[0]["valid_at"] == datetime(2019, 1, 1, tzinfo=timezone.utc)
+    # temporal adjuncts compose with registered templates too (E5)
+    adj = rules.extract_triples(
+        "user: Acme sponsors Bob since 2021-05-02.", TS, ontology=onto)
+    assert adj[0]["valid_at"] == datetime(2021, 5, 2, tzinfo=timezone.utc)
+
+
+def test_excluded_types_drop_mentions_and_triples():
+    onto = Ontology(excluded_entity_types=["Place"])
+    content = "Alice: Alice lives in Paris. Alice works at Acme."
+    m = [x["name"] for x in rules.extract_mentions(content, ontology=onto)]
+    assert "Paris" not in m and "Alice" in m and "Acme" in m
+    t = [(x["pred"]) for x in rules.extract_triples(content, TS,
+                                                    ontology=onto)]
+    assert t == ["WORKS_AT"]            # LIVES_IN dropped: obj type excluded
+    # excluding the Speaker type drops the speaker mention
+    onto2 = Ontology(excluded_entity_types=["Speaker"])
+    m2 = [x["name"] for x in rules.extract_mentions(
+        "Alice: Bob works at Acme.", ontology=onto2)]
+    assert m2 == ["Bob", "Acme"]
+
+
+def test_template_validation_errors():
+    with pytest.raises(ValueError, match="SCREAMING_SNAKE_CASE"):
+        Template("{a} likes {b}", "likes").compile()
+    with pytest.raises(ValueError, match="one {b} slot"):
+        Template("{a} exists", "EXISTS").compile()
+    with pytest.raises(ValueError, match="mode"):
+        Template("{a} x {b}", "X", mode="sometimes").compile()
+    with pytest.raises(ValueError, match="{y}"):
+        Template("{a} met {b}", "MET", mode="year").compile()
+    with pytest.raises(ValueError, match="unregistered"):
+        Ontology(templates=[Template("{a} uses {b}", "USES",
+                                     obj_type="Gadget")])
+    # literal regex metacharacters in templates are escaped, not compiled
+    onto = Ontology(templates=[Template("{a} (really) likes {b}",
+                                        "REALLY_LIKES")])
+    t = rules.extract_triples("user: Alice (really) likes Bob.", TS,
+                              ontology=onto)
+    assert t[0]["pred"] == "REALLY_LIKES"
+
+
+def test_edge_type_map_constraint():
+    """graphiti.py:461-466 / edge_operations.py:124-141: the map admits
+    edge types per (src, dst) signature; ('Entity','Entity') is the
+    catch-all."""
+    ok = Ontology(
+        templates=[Template("{a} supplies {b}", "SUPPLIES",
+                            subj_type="Organization",
+                            obj_type="Organization")],
+        edge_type_map={("Organization", "Organization"): ("SUPPLIES",)})
+    assert any(p[1] == "SUPPLIES" for p in ok.patterns)
+    with pytest.raises(ValueError, match="not admitted"):
+        Ontology(
+            templates=[Template("{a} supplies {b}", "SUPPLIES",
+                                subj_type="Organization",
+                                obj_type="Organization")],
+            edge_type_map={("Person", "Person"): ("SUPPLIES",)})
+    # catch-all signature admits any-typed templates
+    ok2 = Ontology(
+        templates=[Template("{a} supplies {b}", "SUPPLIES",
+                            subj_type="Organization",
+                            obj_type="Organization")],
+        edge_type_map={("Entity", "Entity"): ("SUPPLIES",)})
+    assert any(p[1] == "SUPPLIES" for p in ok2.patterns)
+
+
+def test_ontology_pickles_and_fingerprints():
+    """The ontology ships to executors inside the pandas-UDF closure —
+    it must pickle (compiled regexes included) and keep behavior."""
+    onto = Ontology(
+        entity_types={"Product": ("category",)},
+        excluded_entity_types=["Place"],
+        templates=[Template("{a} supplies {b}", "SUPPLIES")],
+        functional_preds=["SUPPLIES"])
+    clone = pickle.loads(pickle.dumps(onto))
+    assert rules.extract_triples("user: Acme supplies Widget.", TS,
+                                 ontology=clone)[0]["pred"] == "SUPPLIES"
+    assert clone.fingerprint() == onto.fingerprint()
+    assert clone.fingerprint() != Ontology().fingerprint()
+    # default instance behaves exactly like ontology=None
+    assert rules.extract_triples("user: Alice works at Acme.", TS,
+                                 ontology=onto_mod.DEFAULT) == \
+        rules.extract_triples("user: Alice works at Acme.", TS)
+    # functional declarations merge with the builtins
+    assert "SUPPLIES" in onto.functional_preds
+    assert rules.FUNCTIONAL_PREDS <= onto.functional_preds

@@ -141,3 +141,40 @@ def test_exact_negation_dedup(spark, n_dupes):
     df = _edges_df(spark, rows)
     out = apply_versioning(dedupe_edges(df), RUN_TS)
     assert out.where(F.col("valid_at").isNull()).count() == 1
+
+
+def test_custom_functional_pred_via_ontology(spark):
+    """E6 → T1a: an ontology-declared functional predicate gets the same
+    supersede-on-next-fact semantics as the builtins; without the
+    declaration both facts stay open."""
+    from graphiti_spark.ontology import Ontology
+    rows = [
+        ("acme", "SUPPLIES", "widgetco", _ts(1), None, 0),
+        ("acme", "SUPPLIES", "gadgetco", _ts(2), None, 1),
+    ]
+    base = _run(spark, rows)       # SUPPLIES not functional by default
+    assert base[("acme", "SUPPLIES", "widgetco")][1] is None
+    onto = Ontology(functional_preds=["SUPPLIES"])
+    out = apply_versioning(dedupe_edges(_edges_df(spark, rows)), RUN_TS,
+                           ontology=onto)
+    got = {(r["source_node_uuid"], r["name"], r["target_node_uuid"]):
+           (r["valid_at"], r["invalid_at"], r["expired_at"])
+           for r in out.where(F.col("valid_at").isNotNull()).collect()}
+    assert got[("acme", "SUPPLIES", "widgetco")][1] == \
+        _ts(2).replace(tzinfo=None)
+    assert got[("acme", "SUPPLIES", "gadgetco")][1] is None
+    # builtin functional semantics are preserved under a custom ontology
+    assert rules_builtin_still_functional(spark, onto)
+
+
+def rules_builtin_still_functional(spark, onto):
+    rows = [
+        ("alice", "WORKS_AT", "acme", _ts(1), None, 0),
+        ("alice", "WORKS_AT", "globex", _ts(2), None, 1),
+    ]
+    out = apply_versioning(dedupe_edges(_edges_df(spark, rows)), RUN_TS,
+                           ontology=onto)
+    got = {r["target_node_uuid"]: r["invalid_at"]
+           for r in out.where(F.col("valid_at").isNotNull()).collect()}
+    return got["acme"] == _ts(2).replace(tzinfo=None) \
+        and got["globex"] is None
