@@ -409,6 +409,8 @@ class SearchConfig:
     limit: int = DEFAULT_SEARCH_LIMIT
     min_score: float = DEFAULT_MIN_SCORE
     bfs_depth: int = MAX_SEARCH_DEPTH
+    mmr_lambda: float = MMR_LAMBDA       # search_config.py:84 per-layer knob
+    reranker_min_score: float = 0.0      # search_config.py:118
 
 
 # Search recipes (Q9) — the full preset family of
@@ -489,7 +491,8 @@ def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
             union = union.unionByName(r)
         cands = (union.dropDuplicates(["uuid"]).select("uuid")
                  .join(df.select("uuid", emb_col), "uuid"))
-        fused = mmr_rerank(cands, emb_col, query_vec, limit=config.limit)
+        fused = mmr_rerank(cands, emb_col, query_vec,
+                           mmr_lambda=config.mmr_lambda, limit=config.limit)
     elif config.reranker == "episode_mentions":
         union = results[0]
         for r in results[1:]:
@@ -511,6 +514,8 @@ def hybrid_search(df: DataFrame, text_col: str, emb_col: str, query: str,
         fused = cross_encoder_rank(cands, text_col, query)
     else:
         raise ValueError(f"unknown reranker {config.reranker}")
+    if config.reranker_min_score:
+        fused = fused.where(F.col("score") >= config.reranker_min_score)
     return fused.limit(config.limit)
 
 

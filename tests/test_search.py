@@ -262,3 +262,107 @@ def test_mmr_grouped_matches_driver_path(spark):
         assert [r["uuid"] for r in single] == [r["uuid"] for r in batch]
         for a, c in zip(single, batch):
             assert abs(a["score"] - c["score"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Composite 4-layer search (search/search.py:66-162 fidelity)
+# ---------------------------------------------------------------------------
+
+from graphiti_spark.operators import composite_search as CS
+
+
+@pytest.fixture(scope="module")
+def graph_layers(spark):
+    """Tiny 4-table graph: edges + nodes + episodes + communities, all
+    mentioning 'alice'/'acme' so every layer has hits."""
+    emb = F.udf(lambda s: tx.embed_text(s).tolist(), "array<float>")
+    edges = spark.createDataFrame(
+        [("e1", "g1", "alice", "acme", "WORKS_AT",
+          "Alice Smith works at Acme Corp"),
+         ("e2", "g1", "bob", "globex", "WORKS_AT",
+          "Bob Jones works at Globex"),
+         ("e3", "g2", "alice", "paris", "LIVES_IN",
+          "Alice Smith lives in Paris")],
+        ["uuid", "group_id", "source_node_uuid", "target_node_uuid",
+         "name", "fact"]).withColumn(
+        "fact_embedding", emb(F.lower("fact")))
+    nodes = spark.createDataFrame(
+        [("alice", "g1", "Alice Smith", ["Person"]),
+         ("acme", "g1", "Acme Corp", ["Organization"]),
+         ("bob", "g1", "Bob Jones", ["Person"])],
+        "uuid string, group_id string, name string, labels array<string>"
+    ).withColumn("name_embedding", emb(F.lower("name")))
+    episodes = spark.createDataFrame(
+        [("ep1", "g1", "user: Alice Smith works at Acme Corp."),
+         ("ep2", "g1", "user: Bob Jones works at Globex.")],
+        ["uuid", "group_id", "content"])
+    communities = spark.createDataFrame(
+        [("c1", "g1", "Alice Smith",
+          "Alice Smith works at Acme Corp. Alice Smith lives in Paris")],
+        ["uuid", "group_id", "name", "summary"]).withColumn(
+        "name_embedding", emb(F.lower("summary")))
+    return {"edges": edges.cache(), "nodes": nodes.cache(),
+            "episodes": episodes.cache(), "communities": communities.cache()}
+
+
+def test_composite_search_all_four_layers(spark, graph_layers):
+    """COMBINED_HYBRID_SEARCH_RRF fans out to all four layers in one call,
+    each reranked independently, per-layer limit honored."""
+    qv = tx.embed_text("alice smith works at acme corp").tolist()
+    cfg = CS.COMBINED_HYBRID_SEARCH_RRF
+    res = CS.search("alice acme", qv, cfg, **graph_layers)
+    assert res.edges is not None and res.nodes is not None
+    assert res.episodes is not None and res.communities is not None
+    e = res.edges.collect()
+    assert e[0]["uuid"] == "e1" and "fact" in res.edges.columns
+    assert [r["uuid"] for r in res.episodes.collect()] == ["ep1"]
+    assert [r["uuid"] for r in res.communities.collect()] == ["c1"]
+    n = res.nodes.collect()
+    assert {r["uuid"] for r in n} >= {"alice", "acme"}
+    for layer in (res.edges, res.nodes, res.episodes, res.communities):
+        assert layer.count() <= cfg.limit
+        scores = [r["score"] for r in layer.collect()]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_composite_search_limit_and_group_scope(spark, graph_layers):
+    qv = tx.embed_text("alice").tolist()
+    cfg = CS.CompositeSearchConfig(
+        edge_config=CS.LayerConfig(["bm25", "cosine"], "rrf"), limit=1)
+    res = CS.search("alice", qv, cfg, **graph_layers)
+    assert res.edges.count() == 1
+    assert res.nodes is None           # no node_config in the preset
+    # group scoping (search.py:91): only g2 edges considered
+    res2 = CS.search("alice", qv, cfg, group_ids=["g2"], **graph_layers)
+    assert [r["uuid"] for r in res2.edges.collect()] == ["e3"]
+    # blank query -> empty bundle (search.py:83-84)
+    empty = CS.search("  ", qv, cfg, **graph_layers)
+    assert empty.edges is None
+
+
+def test_composite_search_single_layer_presets(spark, graph_layers):
+    qv = tx.embed_text("alice").tolist()
+    res = CS.search("alice", qv, CS.COMMUNITY_HYBRID_SEARCH_RRF,
+                    **graph_layers)
+    assert res.edges is None and res.nodes is None and res.episodes is None
+    assert [r["uuid"] for r in res.communities.collect()] == ["c1"]
+    # all 16 reference preset names exist at full nesting fidelity
+    assert len(CS.COMPOSITE_RECIPES) == 16
+    combined = CS.COMPOSITE_RECIPES["COMBINED_HYBRID_SEARCH_CROSS_ENCODER"]
+    assert "bfs" in combined.edge_config.methods
+    assert combined.episode_config.methods == ["bm25"]
+    assert CS.COMPOSITE_RECIPES["COMBINED_HYBRID_SEARCH_MMR"] \
+        .node_config.mmr_lambda == 1.0
+
+
+def test_composite_search_degrades_without_embeddings(spark, graph_layers):
+    """A layer table without its embedding column (with_embeddings=False
+    pipeline) falls back to lexical methods instead of failing."""
+    qv = tx.embed_text("alice").tolist()
+    cfg = CS.CompositeSearchConfig(
+        edge_config=CS.LayerConfig(["bm25", "cosine"], "rrf"))
+    bare = graph_layers["edges"].drop("fact_embedding")
+    res = CS.search("alice", qv, cfg, edges=bare)
+    # bm25-only now: e3's shorter fact outranks e1 on the tf tie (b=0.75
+    # length norm); both alice edges hit, bob's does not
+    assert {r["uuid"] for r in res.edges.collect()} == {"e1", "e3"}
