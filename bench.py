@@ -127,6 +127,21 @@ def main():
     ap.add_argument("--pairs", default=None,
                     help="comma list of lo:hi pairs, e.g. '2:8,8:32'; "
                          "first pair is the headline efficiency")
+    ap.add_argument("--pin", action="store_true",
+                    help="pin each width-N measurement (JVM + Python "
+                         "workers + GC threads + the CPU-baseline pool) to "
+                         "cores 0..N-1 via sched_setaffinity — the faithful "
+                         "model of an N-core executor container. Unpinned, "
+                         "a local[2] JVM silently borrows the other 30 "
+                         "vCPUs for parallel-GC/netty/Python threads, "
+                         "inflating the lo-width rate and understating "
+                         "scaling efficiency")
+    ap.add_argument("--exec-pairs", default=None,
+                    help="executor-count lo:hi pairs (local-cluster[N,4,..] "
+                         "per width, 4 cores each), e.g. '1:4' = 4 vs 16 "
+                         "cores across real executor JVMs. More faithful "
+                         "N-vs-4N-cluster model than thread widths; takes "
+                         "precedence over --pairs for the headline")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -159,7 +174,8 @@ def _burn(k):
     return x
 
 
-def _cpu_baseline(widths: list[int], n: int = 30_000_000) -> dict:
+def _cpu_baseline(widths: list[int], n: int = 30_000_000,
+                  pin: bool = False) -> dict:
     """Raw busy-loop throughput at each process count — the HARDWARE
     scaling ceiling of this box. The sandbox VM stops scaling past ~16
     effective cores even for pure CPU (host oversubscription + frequency
@@ -170,11 +186,18 @@ def _cpu_baseline(widths: list[int], n: int = 30_000_000) -> dict:
     import time as _t
 
     out = {}
+    full = os.sched_getaffinity(0)
     for procs in widths:
-        t0 = _t.time()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [n] * procs)
-        out[str(procs)] = round(procs * n / (_t.time() - t0) / 1e6, 1)
+        if pin:
+            os.sched_setaffinity(0, set(range(procs)))
+        try:
+            t0 = _t.time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [n] * procs)
+            out[str(procs)] = round(procs * n / (_t.time() - t0) / 1e6, 1)
+        finally:
+            if pin:
+                os.sched_setaffinity(0, full)
     return out
 
 
@@ -187,10 +210,21 @@ def scaling(args):
     is the headline. A raw busy-loop CPU baseline per width is recorded
     alongside so efficiency can be read against the VM's own scaling
     ceiling."""
-    pairs = [(args.lo, args.hi)]
-    if args.pairs:
+    exec_mode = bool(args.exec_pairs)
+    if exec_mode:
+        # Executor-pair protocol: each width N runs local-cluster[N,4,mem]
+        # — N real executor JVMs (own heap/GC/shuffle server/Python
+        # workers) over loopback. 1 vs 4 executors = 4 vs 16 cores, the
+        # faithful sandbox model of an N- vs 4N-executor cluster that
+        # stays under this VM's ~16-effective-core hardware ceiling
+        # (see cpu_baseline_mops: 32 threads deliver only 2.7x of 8).
+        pairs = [tuple(int(x) for x in p.split(":"))
+                 for p in args.exec_pairs.split(",")]
+    elif args.pairs:
         pairs = [tuple(int(x) for x in p.split(":"))
                  for p in args.pairs.split(",")]
+    else:
+        pairs = [(args.lo, args.hi)]
     widths = sorted({w for p in pairs for w in p})
 
     # Each run's JSON line is appended to a journal immediately — a crash
@@ -202,9 +236,15 @@ def scaling(args):
     if os.path.exists(journal):
         for ln in open(journal):
             r = json.loads(ln)
-            if r.get("pipeline_sf") == args.pipeline_sf \
-                    and r.get("cpus") in prior:
-                prior[r["cpus"]].append(r)
+            if r.get("pipeline_sf") != args.pipeline_sf:
+                continue
+            key = r.get("execs") if exec_mode else r.get("cpus")
+            if exec_mode != (r.get("execs") is not None):
+                continue   # thread runs and exec runs are separate pools
+            if bool(r.get("pinned")) != args.pin:
+                continue   # pinned and unpinned runs are separate pools
+            if key in prior:
+                prior[key].append(r)
 
     runs: dict[int, list[dict]] = {w: [] for w in widths}
     for _ in range(args.reps):
@@ -213,14 +253,25 @@ def scaling(args):
                 runs[cpus].append(prior[cpus].pop(0))
                 continue
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--pipeline-only", "--cpus", str(cpus),
+                   "--pipeline-only", "--cpus",
+                   str(cpus * 4 if exec_mode else cpus),
                    "--pipeline-sf", str(args.pipeline_sf)]
+            if exec_mode:
+                cmd += ["--execs", str(cpus)]
+            if args.pin:
+                # Affinity is inherited by every thread and child the JVM
+                # or Python workers spawn — the whole measurement sees
+                # exactly N cores, like a cgroup-limited executor.
+                n_cores = cpus * 4 if exec_mode else cpus
+                cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [ln for ln in out.stdout.strip().splitlines()
                     if ln.startswith("{")][-1]
             rec = json.loads(line)
             rec["pipeline_sf"] = args.pipeline_sf
+            if args.pin:
+                rec["pinned"] = True
             with open(journal, "a") as jf:
                 jf.write(json.dumps(rec) + "\n")
             runs[cpus].append(rec)
@@ -235,26 +286,43 @@ def scaling(args):
         best["all_runs_sec"] = [r["pipeline_sec"] for r in rs]
         results[c] = best
 
-    cpu = _cpu_baseline(widths)
+    # CPU ceiling is measured in CORES actually scheduled (4 per executor
+    # in exec mode), since that's what the busy-loop pool models.
+    core_of = (lambda w: w * 4) if exec_mode else (lambda w: w)
+    cpu = _cpu_baseline([core_of(w) for w in widths], pin=args.pin)
     pair_effs = {}
     for lo_c, hi_c in pairs:
         eff = (results[hi_c]["triples_per_sec"]
                / results[lo_c]["triples_per_sec"]) / (hi_c / lo_c)
-        ceiling = (cpu[str(hi_c)] / cpu[str(lo_c)]) / (hi_c / lo_c)
-        pair_effs[f"{lo_c}->{hi_c}"] = {
+        ceiling = (cpu[str(core_of(hi_c))] / cpu[str(core_of(lo_c))]) \
+            / (hi_c / lo_c)
+        label = (f"{lo_c}x4->{hi_c}x4execs" if exec_mode
+                 else f"{lo_c}->{hi_c}")
+        pair_effs[label] = {
             "efficiency": round(eff, 3),
             "cpu_baseline_ceiling": round(ceiling, 3),
             "efficiency_vs_ceiling": round(min(eff / ceiling, 9.99), 3),
         }
     lo0, hi0 = pairs[0]
+    head = (f"{lo0}x4->{hi0}x4execs" if exec_mode else f"{lo0}->{hi0}")
+    wlabel = (lambda c: f"cluster[{c}x4]") if exec_mode \
+        else (lambda c: f"local[{c}]")
     summary = {
         "metric": "scaling_efficiency",
-        "value": pair_effs[f"{lo0}->{hi0}"]["efficiency"],
-        "unit": f"(rate_{hi0} / rate_{lo0}) / {hi0 // lo0}",
+        "value": pair_effs[head]["efficiency"],
+        "unit": (f"(rate_{hi0}execs / rate_{lo0}execs) / {hi0 // lo0}, "
+                 "4 cores per executor JVM (local-cluster)") if exec_mode
+        else f"(rate_{hi0} / rate_{lo0}) / {hi0 // lo0}",
+        "protocol": (("local-cluster executor JVMs, fresh JVMs per run, "
+                      "peak over journaled runs") if exec_mode
+                     else ("local[N] threads, fresh JVM per run, peak over "
+                           "journaled runs"))
+        + (", pinned to N cores via taskset (cgroup-executor model)"
+           if args.pin else ", unpinned"),
         "pipeline_sf": args.pipeline_sf,
         "pairs": pair_effs,
         "cpu_baseline_mops": cpu,
-        **{f"local[{c}]": results[c] for c in widths},
+        **{wlabel(c): results[c] for c in widths},
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SCALING.json"), "w") as f:

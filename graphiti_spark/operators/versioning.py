@@ -110,6 +110,11 @@ def dedupe_edges(edges_raw: DataFrame) -> DataFrame:
         F.col("_first_attrs").alias("attributes"),
         "episodes", "created_at", "valid_at",
         F.coalesce("invalid_at", "_exp_invalid").alias("invalid_at"),
+        # Winner row's turn_idx rides through to the stored table so the
+        # entity-granular re-slice (operators/incremental.py) re-enters
+        # the merge with the EXACT (t, turn_idx, uuid) ordering key the
+        # full rebuild would use — tie-breaks included.
+        F.col("first.ti").alias("turn_idx"),
         "_neg",
     )
 

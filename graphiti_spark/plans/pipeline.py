@@ -49,6 +49,46 @@ class GraphTables:
     uuid_map: DataFrame
 
 
+def entity_summaries(entities: DataFrame, edges: DataFrame,
+                     restrict: bool = False) -> DataFrame:
+    """E4 deterministic stand-in: summary = chronological concat of the
+    entity's supporting facts, truncated to 250 words; typed entity
+    attributes from the ontology type of the first mention
+    (node_operations.py:295-381). Shared by the batch pipeline and the
+    entity-granular incremental path (operators/incremental.py), which
+    passes ``restrict=True`` to pre-filter the fact scan to its (small)
+    affected-entity subset — the batch path skips that extra join, since
+    there every fact's endpoints are in ``entities`` anyway."""
+    facts = (edges.select(F.col("source_node_uuid").alias("uuid"),
+                          "fact", "valid_at", "created_at")
+             .unionByName(edges.select(
+                 F.col("target_node_uuid").alias("uuid"),
+                 "fact", "valid_at", "created_at")))
+    if restrict:
+        facts = facts.join(F.broadcast(entities.select("uuid")),
+                           "uuid", "left_semi")
+    per_entity = (facts
+                  .groupBy("uuid")
+                  .agg(F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct(F.coalesce("valid_at", "created_at")
+                                        .alias("t"), F.col("fact").alias("f")))),
+                          lambda s: s["f"]), ". ").alias("_summary")))
+    words = F.split(F.col("_summary"), " ")
+    trunc = F.when(F.size(words) > SUMMARY_MAX_WORDS,
+                   F.array_join(F.slice(words, 1, SUMMARY_MAX_WORDS), " ")
+                   ).otherwise(F.col("_summary"))
+    return (entities.join(per_entity, "uuid", "left")
+            .withColumn("summary", F.coalesce(trunc, F.lit("")))
+            .withColumn("attributes",
+                        F.create_map(
+                            F.lit("entity_type"),
+                            F.coalesce(F.element_at("labels", 1),
+                                       F.lit("Entity"))))
+            .drop("_summary"))
+
+
 def _fingerprint(**kwargs) -> str:
     return json.dumps(kwargs, sort_keys=True, default=str)
 
@@ -197,36 +237,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                            barrier=False)
 
     def build_summaries():
-        # E4 deterministic stand-in: summary = chronological concat of the
-        # entity's supporting facts, truncated to 250 words.
-        facts = (edges.select(F.col("source_node_uuid").alias("uuid"),
-                              "fact", "valid_at", "created_at")
-                 .unionByName(edges.select(
-                     F.col("target_node_uuid").alias("uuid"),
-                     "fact", "valid_at", "created_at")))
-        per_entity = (facts
-                      .groupBy("uuid")
-                      .agg(F.array_join(
-                          F.transform(
-                              F.array_sort(F.collect_list(
-                                  F.struct(F.coalesce("valid_at", "created_at")
-                                            .alias("t"), F.col("fact").alias("f")))),
-                              lambda s: s["f"]), ". ").alias("_summary")))
-        words = F.split(F.col("_summary"), " ")
-        trunc = F.when(F.size(words) > SUMMARY_MAX_WORDS,
-                       F.array_join(F.slice(words, 1, SUMMARY_MAX_WORDS), " ")
-                       ).otherwise(F.col("_summary"))
-        out = (entities.join(per_entity, "uuid", "left")
-               .withColumn("summary", F.coalesce(trunc, F.lit("")))
-               # E4 typed entity attributes: the ontology type from the
-               # first mention (node_operations.py:295-381 fills custom
-               # typed attributes; our deterministic slot is the type).
-               .withColumn("attributes",
-                           F.create_map(
-                               F.lit("entity_type"),
-                               F.coalesce(F.element_at("labels", 1),
-                                          F.lit("Entity"))))
-               .drop("_summary"))
+        out = entity_summaries(entities, edges)
         if with_embeddings:
             out = out.withColumn("name_embedding",
                                  extract.embed_udf(F.col("name_norm")))
