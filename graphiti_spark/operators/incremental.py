@@ -142,11 +142,18 @@ def incremental_update_entity(spark: SparkSession,
                               existing_entities: DataFrame | None,
                               existing_edges: DataFrame | None,
                               run_ts: datetime,
-                              ontology=None
+                              ontology=None,
+                              delta_only: bool = False
                               ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """``add_episode`` semantics at ENTITY granularity. Returns
     (merged_transcripts, merged_entities, merged_edges); under Iceberg
     the edge merge is a MERGE on the affected (group, source) keys.
+
+    ``delta_only=True`` instead returns (affected_keys, delta_entities,
+    delta_edges) — ONLY the rows an Iceberg MERGE would write (the
+    recomputed edge slice and the refreshed/new entity rows), never
+    scanning the untouched remainder. This is the micro-batch cost
+    surface: ∝ |new turns| + |edges of affected source entities|.
 
     Assumes batch turns are genuinely new (turn_idx beyond the stored
     ones) — the streaming contract (`streaming/ingest.py`)."""
@@ -244,6 +251,8 @@ def incremental_update_entity(spark: SparkSession,
             .unionByName(new_canon.select(base_cols)))
     to_refresh = base.join(F.broadcast(affected_ent), "uuid", "left_semi")
     refreshed = entity_summaries(to_refresh, merged_edges, restrict=True)
+    if delta_only:
+        return keys, refreshed, recomputed
     kept = (existing_upd
             .join(F.broadcast(affected_ent), "uuid", "left_anti"))
     merged_entities = kept.unionByName(refreshed.select(kept.columns))
