@@ -143,6 +143,31 @@ def test_relevant_edges_is_affected_slice_only(spark):
     assert got == {"e1"}
 
 
+def test_delta_only_matches_merge(spark):
+    """delta_only returns exactly the rows the full merge recomputes:
+    untouched ∪ delta == merged edges, and delta entities == the
+    refreshed subset of merged entities."""
+    base = _turns(spark, BASE)
+    new = _turns(spark, NEW)
+    g0 = build_graph(spark, base, run_ts=RUN_TS)
+
+    keys, d_ents, d_edges = incremental_update_entity(
+        spark, new, base, g0.entities, g0.edges, RUN_TS, delta_only=True)
+    _, m_ents, m_edges = incremental_update_entity(
+        spark, new, base, g0.entities, g0.edges, RUN_TS)
+
+    untouched = g0.edges.join(
+        keys, ["group_id", "source_node_uuid"], "left_anti")
+    assert _edge_key(untouched.unionByName(
+        d_edges.select(untouched.columns))) == _edge_key(m_edges)
+    # delta entity rows appear verbatim in the merged entities
+    merged = {(r["uuid"], r["summary"]) for r in m_ents.collect()}
+    delta = {(r["uuid"], r["summary"]) for r in d_ents.collect()}
+    assert delta <= merged
+    # the touched groups' entities are all in the delta
+    assert {r["group_id"] for r in d_ents.collect()} == {"c1", "c2"}
+
+
 def test_stored_edges_roundtrip_through_merge(spark):
     """stored→raw→dedupe is idempotent: re-merging an untouched slice
     reproduces it (same uuid, payload, episodes, timestamps)."""
