@@ -67,6 +67,26 @@ def _noop(df) -> None:
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from graphiti_spark.queries import QUERIES
+    # Unmeasured warmup: spawn the Python workers and JIT the scan/codegen
+    # paths once, so the FIRST measured query isn't charged the session's
+    # one-time costs (the pipeline phase reports peak-of-reps for the same
+    # reason). Each query still runs its own plan cold.
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _wu(s: pd.Series) -> pd.Series:
+            return s
+
+        (spark.range(spark.sparkContext.defaultParallelism * 4)
+         .repartition(spark.sparkContext.defaultParallelism)
+         .select(F.sum(_wu(F.col("id")))).collect())
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
+            .limit(1).collect()
+    except Exception:
+        pass
     out = {}
     for name in HEADLINE:
         t0 = time.time()
