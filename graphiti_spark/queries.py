@@ -1033,6 +1033,73 @@ FROM part
 """
 
 
+def q_kg_relevant_nodes(spark, sf_dir):
+    """J3 ``get_relevant_nodes`` as a driver query: a micro-batch of
+    numeric aliases (last token of every 10th customer name) resolves
+    against the customer-derived entity table through the REAL
+    entity-granular candidate join (`operators/incremental.relevant_nodes`
+    — token-block equi-join, per-(group, token) df cap, duplicate
+    verify). The oracle replays blocking, cap, and the verify rule
+    (equality | token-subset | token-cosine ≥ 0.8) in SQL."""
+    from graphiti_spark.operators.incremental import relevant_nodes
+    c = load(spark, sf_dir, "customer")
+    norm = F.lower(F.regexp_replace("c_name", "#", " "))
+    existing = c.select(
+        F.col("c_mktsegment").alias("group_id"),
+        F.col("c_custkey").cast("string").alias("uuid"),
+        norm.alias("name_norm"))
+    batch = (c.where(F.col("c_custkey") % 10 == 0)
+             .select(F.col("c_mktsegment").alias("group_id"),
+                     F.concat(F.lit("b"), F.col("c_custkey").cast("string"))
+                      .alias("uuid"),
+                     F.element_at(F.split(norm, " "), -1).alias("name_norm")))
+    return (relevant_nodes(batch, existing)
+            .select("group_id", "uuid", "existing_uuid"))
+
+
+SQL_KG_RELEVANT_NODES = """
+WITH existing AS (
+  SELECT c_mktsegment AS group_id, CAST(c_custkey AS VARCHAR) AS uuid,
+         replace(lower(c_name), '#', ' ') AS name_norm
+  FROM customer),
+batch AS (
+  SELECT c_mktsegment AS group_id,
+         'b' || CAST(c_custkey AS VARCHAR) AS uuid,
+         list_extract(string_split(replace(lower(c_name), '#', ' '), ' '),
+                      2) AS name_norm
+  FROM customer WHERE c_custkey % 10 = 0),
+etok AS (
+  SELECT group_id, uuid AS existing_uuid, name_norm AS existing_name,
+         t.tok
+  FROM existing, UNNEST(list_distinct(string_split(name_norm, ' ')))
+       AS t(tok)),
+ecap AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY group_id, tok
+                                 ORDER BY existing_uuid) AS rn
+    FROM etok) WHERE rn <= 64),
+btok AS (
+  SELECT group_id, uuid, name_norm, t.tok
+  FROM batch, UNNEST(list_distinct(string_split(name_norm, ' ')))
+       AS t(tok)),
+cand AS (
+  SELECT DISTINCT b.group_id, b.uuid, b.name_norm,
+                  e.existing_uuid, e.existing_name
+  FROM btok b
+  JOIN ecap e ON b.group_id = e.group_id AND b.tok = e.tok)
+SELECT group_id, uuid, existing_uuid FROM (
+  SELECT *,
+         list_distinct(string_split(name_norm, ' ')) AS ta,
+         list_distinct(string_split(existing_name, ' ')) AS tb
+  FROM cand)
+WHERE name_norm = existing_name
+   OR len(list_filter(ta, x -> NOT list_contains(tb, x))) = 0
+   OR len(list_filter(tb, x -> NOT list_contains(ta, x))) = 0
+   OR len(list_intersect(ta, tb))
+      / sqrt(CAST(len(ta) AS DOUBLE) * len(tb)) >= 0.8
+"""
+
+
 def q_kg_build_edges(spark, sf_dir):
     """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
     dedup → temporal versioning) over derived transcripts with planted
@@ -1240,6 +1307,7 @@ QUERIES = {
     "kg_json_episodes": q_kg_json_episodes,
     "kg_fact_dates": q_kg_fact_dates,
     "kg_custom_ontology": q_kg_custom_ontology,
+    "kg_relevant_nodes": q_kg_relevant_nodes,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1276,6 +1344,7 @@ ORACLES = {
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
     "kg_fact_dates": SQL_KG_FACT_DATES,
     "kg_custom_ontology": SQL_KG_CUSTOM_ONTOLOGY,
+    "kg_relevant_nodes": SQL_KG_RELEVANT_NODES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
