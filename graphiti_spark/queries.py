@@ -771,6 +771,52 @@ SELECT source, doc_id, overlap, rn FROM (
 """
 
 
+def q_bm25_search(spark, sf_dir):
+    """Q1 fulltext search through the real BM25 plan (operators/search.py
+    bm25_lite_search) at Lucene's default b=0.75 length normalization:
+    corpus stats (N, avgdl) fold into a 1-row broadcast aggregate, tf via
+    token equi-join against the broadcast query tokens, idf from a
+    doc-frequency groupBy. limit exceeds the corpus so the driver compares
+    the full scored set (no float-tie cutoff); scores rounded to 6 dp on
+    BOTH sides to absorb libm-vs-JVM ln() ulp differences."""
+    from graphiti_spark.operators.search import bm25_lite_search
+    d = load(spark, sf_dir, "documents")
+    res = bm25_lite_search(d, "text", "spark window agg",
+                           id_col="doc_id", limit=1_000_000)
+    return res.select("uuid", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+           x -> x <> '') AS tl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         coalesce(avg(CAST(len(tl) AS DOUBLE)), 1.0) AS avgdl
+  FROM toks
+), exploded AS (
+  SELECT doc_id, CAST(len(tl) AS DOUBLE) AS dl, unnest(tl) AS tok FROM toks
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM exploded WHERE tok IN ('spark', 'window', 'agg')
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY tok
+)
+SELECT t.doc_id AS uuid,
+       round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * (1.2 + 1.0))
+                 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                  / greatest(s.avgdl, 1e-9)))), 6) AS score
+FROM tf t JOIN dfreq d USING (tok) CROSS JOIN stats s
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG extraction through the real pandas UDFs (E1/E3) with a SQL oracle
 # ---------------------------------------------------------------------------
@@ -1103,8 +1149,13 @@ WHERE name_norm = existing_name
 def q_kg_build_edges(spark, sf_dir):
     """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
     dedup → temporal versioning) over derived transcripts with planted
-    contradictions. Not SQL-expressible (iterative CC) — driver records the
-    rows-only check; pytest holds the golden P/R gate."""
+    contradictions. The CC canonicalization is iterative in general, but
+    on this deterministic input its fixed point is closed-form (entities
+    within a conversation never alias-merge across names), so the oracle
+    states the expected end-to-end edge set directly: per customer a
+    WORKS_AT edge (invalidated at turn 2 for even custkeys, expired at
+    run_ts) plus a LIVES_IN edge, and the negation edge itself. pytest
+    additionally holds the golden P/R gate on inputs WITH alias merges."""
     from graphiti_spark.plans.pipeline import build_graph
     tr = derived_transcripts(spark, sf_dir, with_negation=True)
     tr = tr.where(F.col("conv_id").isin(
@@ -1112,6 +1163,41 @@ def q_kg_build_edges(spark, sf_dir):
     g = build_graph(spark, tr, run_ts=RUN_TS)
     return g.edges.select("group_id", "name", "fact", "valid_at",
                           "invalid_at", "expired_at")
+
+
+SQL_KG_BUILD_EDGES = """
+WITH base AS (
+  SELECT c_custkey,
+         'conv' || CAST(c_custkey AS VARCHAR) AS group_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c_custkey < 300
+)
+SELECT group_id, 'WORKS_AT' AS name,
+       person || ' works at ' || org AS fact,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_at,
+       CASE WHEN c_custkey % 2 = 0
+            THEN TIMESTAMP '2024-01-01 00:02:00' END AS invalid_at,
+       CASE WHEN c_custkey % 2 = 0
+            THEN TIMESTAMP '2025-01-01 00:00:00' END AS expired_at
+FROM base
+UNION ALL
+SELECT group_id, 'LIVES_IN' AS name,
+       person || ' lives in ' || place AS fact,
+       TIMESTAMP '2024-01-01 00:01:00' AS valid_at,
+       CAST(NULL AS TIMESTAMP) AS invalid_at,
+       CAST(NULL AS TIMESTAMP) AS expired_at
+FROM base
+UNION ALL
+SELECT group_id, 'WORKS_AT' AS name,
+       person || ' no longer works at ' || org AS fact,
+       CAST(NULL AS TIMESTAMP) AS valid_at,
+       TIMESTAMP '2024-01-01 00:02:00' AS invalid_at,
+       TIMESTAMP '2025-01-01 00:00:00' AS expired_at
+FROM base WHERE c_custkey % 2 = 0
+"""
 
 
 def q_embedding_knn_ivf(spark, sf_dir):
@@ -1302,6 +1388,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "cross_encoder_rerank": q_cross_encoder_rerank,
+    "bm25_search": q_bm25_search,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
@@ -1339,6 +1426,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "lang_id": SQL_LANG_ID,
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
+    "bm25_search": SQL_BM25_SEARCH,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
@@ -1351,7 +1439,11 @@ ORACLES = {
     # At nprobe = n_cells IVF scans every cell, so its result is
     # centroid-independent and exactly brute force — same oracle.
     "embedding_knn_ivf": SQL_EMBEDDING_KNN,
-    # kg_build_edges: iterative CC → no SQL oracle (rows-only check) —
-    # the single rows-only driver entry. The pruned-probe IVF variant
-    # (q_embedding_knn_ivf_pruned) stays pytest-gated for recall.
+    # kg_build_edges: the CC step is iterative in general, but on this
+    # deterministic input the fixed point is closed-form, so the oracle
+    # states the expected end-to-end edge set (see q_kg_build_edges).
+    # Alias-merging CC inputs stay pytest-gated (golden P/R = 1.0).
+    "kg_build_edges": SQL_KG_BUILD_EDGES,
+    # The pruned-probe IVF variant (q_embedding_knn_ivf_pruned) stays
+    # pytest-gated for recall.
 }
