@@ -22,8 +22,10 @@ RED_FLAGS = [
 ]
 ALLOW_NESTED_LOOP = {"embedding_knn", "embedding_knn_ivf",
                      "embedding_near_dup",
-                     "dedup_minhash"}  # intended broadcast cross joins
-                                       # (8-row seed table × tokens)
+                     "dedup_minhash",   # intended broadcast cross joins
+                                        # (8-row seed table × tokens)
+                     "bm25_search"}     # 1-row corpus-stats (N, avgdl)
+                                        # broadcast onto the tf join
 # Queries whose global (unpartitioned) windows rank only bounded inputs
 # (sort().limit() upstream): rrf_fusion ranks ≤200-row candidate lists,
 # build_ivf's seed ranking runs over ≤n_cells rows.
