@@ -771,6 +771,134 @@ SELECT source, doc_id, overlap, rn FROM (
 """
 
 
+def q_composite_search(spark, sf_dir):
+    """Q9 composite 4-layer search() (operators/composite_search.py,
+    mirroring the reference's search/search.py fan-out): ONE call runs the
+    edge/node/episode/community layers of COMBINED_HYBRID_SEARCH_RRF —
+    bm25+cosine per layer (episode layer bm25-only per the preset), RRF
+    fuse, shared limit — and the query unions the four hydrated outputs
+    under a `layer` tag. Layer tables are doc_id%4 slices of documents ⋈
+    embeddings; the query vector is vec 0's embedding, so the oracle can
+    replay cosine from the same view. All reranker scores are RRF
+    reciprocal-rank sums (exact IEEE rationals → hash-stable); method
+    rankings are stable across engines because distinct docs' bm25/cosine
+    scores differ far above ulp and exact ties break on uuid in both."""
+    from graphiti_spark.operators.composite_search import (
+        COMBINED_HYBRID_SEARCH_RRF, search)
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    de = (d.join(e, d["doc_id"] == e["vec_id"])
+          .select(F.col("doc_id").alias("uuid"), "text", "embedding"))
+    qvec = [float(x) for x in
+            e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    def slice_(k, text_alias, emb_alias=None):
+        cols = [F.col("uuid"), F.col("text").alias(text_alias)]
+        if emb_alias:
+            cols.append(F.col("embedding").alias(emb_alias))
+        return de.where(F.col("uuid") % 4 == k).select(*cols)
+
+    res = search("spark window agg", qvec, COMBINED_HYBRID_SEARCH_RRF,
+                 edges=slice_(0, "fact", "fact_embedding"),
+                 nodes=slice_(1, "name", "name_embedding"),
+                 episodes=slice_(2, "content"),
+                 communities=slice_(3, "summary", "name_embedding"))
+    parts = [
+        res.edges.select(F.lit("edge").alias("layer"), "uuid", "score"),
+        res.nodes.select(F.lit("node").alias("layer"), "uuid", "score"),
+        res.episodes.select(F.lit("episode").alias("layer"), "uuid",
+                            "score"),
+        res.communities.select(F.lit("community").alias("layer"), "uuid",
+                               "score"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _composite_layer_sql(k: int, tag: str, with_cosine: bool) -> str:
+    """One layer of SQL_COMPOSITE_SEARCH: bm25 (and cosine) top-20 lists →
+    1-based (score DESC, uuid) ranks → RRF 1/rank fuse → top-10."""
+    bm25 = f"""
+L{k}_toks AS (
+  SELECT uuid, list_filter(string_split(
+      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+    x -> x <> '') AS tl
+  FROM L{k}_docs
+), L{k}_stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         coalesce(avg(CAST(len(tl) AS DOUBLE)), 1.0) AS avgdl
+  FROM L{k}_toks
+), L{k}_tf AS (
+  SELECT uuid, tok, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM (SELECT uuid, CAST(len(tl) AS DOUBLE) AS dl, unnest(tl) AS tok
+        FROM L{k}_toks)
+  WHERE tok IN ('spark', 'window', 'agg') GROUP BY uuid, tok
+), L{k}_dfreq AS (
+  SELECT tok, CAST(count(DISTINCT uuid) AS DOUBLE) AS df
+  FROM L{k}_tf GROUP BY tok
+), L{k}_bm25_top AS (
+  SELECT uuid, row_number() OVER (ORDER BY score DESC, uuid) AS rn
+  FROM (SELECT t.uuid,
+               sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                    / greatest(s.avgdl, 1e-9)))) AS score
+        FROM L{k}_tf t JOIN L{k}_dfreq d USING (tok)
+        CROSS JOIN L{k}_stats s GROUP BY t.uuid)
+  QUALIFY rn <= 20
+)"""
+    cos = f""", L{k}_cos_top AS (
+  SELECT uuid, row_number() OVER (ORDER BY score DESC, uuid) AS rn
+  FROM (SELECT uuid,
+               CASE WHEN nrm > 0 THEN dot / (nrm * qn)
+                    ELSE 0.0 END AS score
+        FROM (SELECT uuid, qn,
+                     list_sum(list_transform(range(1, len(emb) + 1),
+                         i -> emb[i] * qv[i])) AS dot,
+                     sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+              FROM L{k}_docs CROSS JOIN qv CROSS JOIN qstats))
+  WHERE score > 0.6 QUALIFY rn <= 20
+)"""
+    lists = f"SELECT uuid, rn FROM L{k}_bm25_top"
+    if with_cosine:
+        lists += f" UNION ALL SELECT uuid, rn FROM L{k}_cos_top"
+    out = f""", L{k}_out AS (
+  SELECT '{tag}' AS layer, uuid, score FROM (
+    SELECT uuid, sum(1.0 / rn) AS score FROM ({lists}) GROUP BY uuid)
+  ORDER BY score DESC, uuid LIMIT 10
+)"""
+    return bm25 + (cos if with_cosine else "") + out
+
+
+SQL_COMPOSITE_SEARCH = (
+    """
+WITH de AS (
+  SELECT d.doc_id AS uuid, d.text,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), qstats AS (
+  SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn FROM qv
+), L0_docs AS (SELECT * FROM de WHERE uuid % 4 = 0),
+   L1_docs AS (SELECT * FROM de WHERE uuid % 4 = 1),
+   L2_docs AS (SELECT * FROM de WHERE uuid % 4 = 2),
+   L3_docs AS (SELECT * FROM de WHERE uuid % 4 = 3),"""
+    + ",".join([
+        _composite_layer_sql(0, "edge", True).lstrip(",\n"),
+        _composite_layer_sql(1, "node", True).lstrip(",\n"),
+        _composite_layer_sql(2, "episode", False).lstrip(",\n"),
+        _composite_layer_sql(3, "community", True).lstrip(",\n"),
+    ])
+    + """
+SELECT * FROM L0_out UNION ALL SELECT * FROM L1_out
+UNION ALL SELECT * FROM L2_out UNION ALL SELECT * FROM L3_out
+""")
+
+
 def q_bm25_search(spark, sf_dir):
     """Q1 fulltext search through the real BM25 plan (operators/search.py
     bm25_lite_search) at Lucene's default b=0.75 length normalization:
@@ -1389,6 +1517,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "cross_encoder_rerank": q_cross_encoder_rerank,
     "bm25_search": q_bm25_search,
+    "composite_search": q_composite_search,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
@@ -1427,6 +1556,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "bm25_search": SQL_BM25_SEARCH,
+    "composite_search": SQL_COMPOSITE_SEARCH,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,

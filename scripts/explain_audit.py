@@ -24,12 +24,17 @@ ALLOW_NESTED_LOOP = {"embedding_knn", "embedding_knn_ivf",
                      "embedding_near_dup",
                      "dedup_minhash",   # intended broadcast cross joins
                                         # (8-row seed table × tokens)
-                     "bm25_search"}     # 1-row corpus-stats (N, avgdl)
+                     "bm25_search",     # 1-row corpus-stats (N, avgdl)
                                         # broadcast onto the tf join
+                     "composite_search"}  # same bm25 stats broadcast,
+                                          # once per layer
 # Queries whose global (unpartitioned) windows rank only bounded inputs
 # (sort().limit() upstream): rrf_fusion ranks ≤200-row candidate lists,
 # build_ivf's seed ranking runs over ≤n_cells rows.
-ALLOW_GLOBAL_WINDOW = {"rrf_fusion", "embedding_knn_ivf"}
+ALLOW_GLOBAL_WINDOW = {"rrf_fusion", "embedding_knn_ivf",
+                       # per-layer RRF rank windows over sort().limit(2k)
+                       # bounded method lists (≤20 rows each)
+                       "composite_search"}
 
 
 def global_windows(plan: str) -> int:
