@@ -503,10 +503,22 @@ WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
 """
 
 
+#: Stop-bucket cap for MinHash-LSH: a band bucket holding more docs than
+#: this is a degenerate low-entropy collision (on this corpus two buckets
+#: hold 2692/2311 of 5000 docs and alone emit ~5.2M of the candidate
+#: pairs), not a near-dup cluster — the same guard as JACCARD_MAX_DF.
+#: Pair fan-out per bucket is bounded by cap²/2, so the join output is
+#: O(#buckets·cap²) instead of O(n²) at 100 TB.
+MINHASH_MAX_BUCKET = 100
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup candidates: 8 md5-minhashes → 2 bands of 4 →
-    band-key equi-join (shingle→minhash→band→bucket-join). Engine-portable
-    because the hash is md5 of 'seed:token' (identical in any engine)."""
+    band-key equi-join (shingle→minhash→band→bucket-join), mega-buckets
+    dropped at MINHASH_MAX_BUCKET via a bk-partitioned count window (rides
+    the same bk shuffle the self-join needs — no extra scan). Engine-
+    portable because the hash is md5 of 'seed:token' (identical in any
+    engine)."""
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", F.array_distinct(F.expr(_TOKS)).alias("toks")))
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
@@ -525,7 +537,9 @@ def q_dedup_minhash(spark, sf_dir):
              .select("doc_id",
                      F.explode(F.array(
                          F.concat(F.lit("b0:"), band(0, 4)),
-                         F.concat(F.lit("b1:"), band(4, 8)))).alias("bk")))
+                         F.concat(F.lit("b1:"), band(4, 8)))).alias("bk"))
+             .withColumn("_bn", F.count("*").over(Window.partitionBy("bk")))
+             .where(F.col("_bn") <= MINHASH_MAX_BUCKET).drop("_bn"))
     a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
     b = keyed.select(F.col("doc_id").alias("doc_b"), "bk")
     return (a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b"))
@@ -550,9 +564,11 @@ WITH tok AS (
            AS band1
   FROM sigs GROUP BY doc_id
 ), keyed AS (
-  SELECT doc_id, 'b0:' || band0 AS bk FROM per_doc
-  UNION ALL
-  SELECT doc_id, 'b1:' || band1 AS bk FROM per_doc
+  SELECT doc_id, bk FROM (
+    SELECT doc_id, 'b0:' || band0 AS bk FROM per_doc
+    UNION ALL
+    SELECT doc_id, 'b1:' || band1 AS bk FROM per_doc)
+  QUALIFY count(*) OVER (PARTITION BY bk) <= 100
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
