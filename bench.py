@@ -40,7 +40,9 @@ HEADLINE = [
     "dedup_minhash", "embedding_knn", "embedding_centroid", "token_count",
     "quality_filter", "lang_id", "cross_encoder_rerank",
     "kg_extract_triples", "kg_mentions", "kg_json_episodes",
-    "kg_fact_dates",
+    "kg_fact_dates", "kg_custom_ontology", "kg_relevant_nodes",
+    "bm25_search", "composite_search", "doc_fingerprint",
+    "simhash_buckets", "embedding_near_dup",
 ]
 
 
@@ -72,21 +74,39 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     # one-time costs (the pipeline phase reports peak-of-reps for the same
     # reason). Each query still runs its own plan cold.
     try:
-        import pandas as pd
         from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("long")
-        def _wu(s: pd.Series) -> pd.Series:
-            return s
+        # NB: lambda form on purpose — this module has `from __future__
+        # import annotations`, which stringifies type hints and makes the
+        # decorated def raise UNSUPPORTED_SIGNATURE (silently skipping
+        # this whole warmup block).
+        _wu = F.pandas_udf(lambda s: s, "long")
 
         (spark.range(spark.sparkContext.defaultParallelism * 4)
          .repartition(spark.sparkContext.defaultParallelism)
          .select(F.sum(_wu(F.col("id")))).collect())
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")) \
             .limit(1).collect()
+        # JIT the window/lag/concat/join/shuffle hot loops at enough volume
+        # to cross the C2 compile threshold (a 256-row probe leaves the
+        # first measured query paying ~5s of tiered-JIT warmup), and drain
+        # through the same noop sink the measured queries use so its
+        # one-time datasource init is unmeasured too.
+        from pyspark.sql import Window
+        wu = spark.range(200_000).select(
+            (F.col("id") % 64).alias("k"), F.col("id").alias("v"),
+            F.concat_ws(":", F.col("id").cast("string"),
+                        F.lit("x")).alias("s"))
+        wk = Window.partitionBy("k").orderBy("v")
+        _noop(wu.withColumn("rn", F.row_number().over(wk))
+              .withColumn("p", F.concat_ws(" | ", F.lag("s", 3).over(wk),
+                                           F.lag("s", 1).over(wk)))
+              .join(wu.groupBy("k").agg(F.max("v").alias("m")), "k"))
     except Exception:
-        pass
+        # Warmup is best-effort but must never fail silently (a silent
+        # skip here once hid 5s of JIT inside the first measured query).
+        import traceback
+        traceback.print_exc(file=sys.stderr)
     out = {}
     for name in HEADLINE:
         t0 = time.time()
