@@ -1290,6 +1290,36 @@ WHERE name_norm = existing_name
 """
 
 
+def q_kg_communities(spark, sf_dir):
+    """A4/A5 end-to-end: the real iterative label-propagation + community
+    summarization (operators/communities.py) over the pipeline-built graph.
+    LPA is iterative in general, but each no-negation conversation's graph
+    is a 3-entity star with all edge weights 1, where the monotone
+    plurality update provably converges to ONE community per conversation
+    (every node adopts max(u_person, u_org, u_place) within 2 rounds) whose
+    top-degree member is the person (degree 2 vs 1) — so the oracle states
+    the closed-form (group_id, name=person, n_members=3) rows directly.
+    Multi-community and tie-break behavior stays pytest-gated
+    (tests/test_communities.py); uuids don't appear in the output because
+    DuckDB lacks sha1."""
+    from graphiti_spark.operators.communities import build_communities
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir)   # no negation turn
+    tr = tr.where(F.col("conv_id").isin(
+        [f"conv{i}" for i in range(300)]))    # bound driver runtime
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    comms, _ = build_communities(g.entities, g.edges, RUN_TS)
+    return comms.select("group_id", "name", "n_members")
+
+
+SQL_KG_COMMUNITIES = """
+SELECT 'conv' || CAST(c_custkey AS VARCHAR) AS group_id,
+       replace(c_name, '#', '') AS name,
+       CAST(3 AS BIGINT) AS n_members
+FROM customer WHERE c_custkey < 300
+"""
+
+
 def q_kg_build_edges(spark, sf_dir):
     """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
     dedup → temporal versioning) over derived transcripts with planted
@@ -1540,6 +1570,7 @@ QUERIES = {
     "kg_fact_dates": q_kg_fact_dates,
     "kg_custom_ontology": q_kg_custom_ontology,
     "kg_relevant_nodes": q_kg_relevant_nodes,
+    "kg_communities": q_kg_communities,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1579,6 +1610,7 @@ ORACLES = {
     "kg_fact_dates": SQL_KG_FACT_DATES,
     "kg_custom_ontology": SQL_KG_CUSTOM_ONTOLOGY,
     "kg_relevant_nodes": SQL_KG_RELEVANT_NODES,
+    "kg_communities": SQL_KG_COMMUNITIES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
