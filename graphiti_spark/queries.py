@@ -1320,6 +1320,56 @@ FROM customer WHERE c_custkey < 300
 """
 
 
+def q_kg_entity_summaries(spark, sf_dir):
+    """E4 attribute/summary extraction end-to-end: entity summaries are
+    the chronological '. '-joined concat of each entity's supporting facts
+    (sorted by coalesce(valid_at, created_at) — the negation fact has no
+    valid_at, so it sorts last at run_ts) and typed attributes carry the
+    ontology type of the first mention (plans/pipeline.entity_summaries,
+    mirroring node_operations.py:295-381). Both are closed-form on the
+    derived transcripts, so the oracle states the expected
+    (group_id, name, entity_type, summary) rows directly."""
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir, with_negation=True)
+    tr = tr.where(F.col("conv_id").isin(
+        [f"conv{i}" for i in range(300)]))   # bound driver runtime
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    return g.entities.select(
+        "group_id", "name",
+        F.element_at("attributes", "entity_type").alias("entity_type"),
+        "summary")
+
+
+SQL_KG_ENTITY_SUMMARIES = """
+WITH base AS (
+  SELECT c_custkey,
+         'conv' || CAST(c_custkey AS VARCHAR) AS group_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place,
+         c_custkey % 2 = 0 AS neg
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c_custkey < 300
+)
+SELECT group_id, person AS name, 'Person' AS entity_type,
+       person || ' works at ' || org || '. '
+         || person || ' lives in ' || place
+         || CASE WHEN neg THEN '. ' || person || ' no longer works at '
+                               || org ELSE '' END AS summary
+FROM base
+UNION ALL
+SELECT group_id, org AS name, 'Organization' AS entity_type,
+       person || ' works at ' || org
+         || CASE WHEN neg THEN '. ' || person || ' no longer works at '
+                               || org ELSE '' END AS summary
+FROM base
+UNION ALL
+SELECT group_id, place AS name, 'Place' AS entity_type,
+       person || ' lives in ' || place AS summary
+FROM base
+"""
+
+
 def q_kg_build_edges(spark, sf_dir):
     """Flagship: the full KG pipeline (extract → LSH+CC canonicalize →
     dedup → temporal versioning) over derived transcripts with planted
@@ -1571,6 +1621,7 @@ QUERIES = {
     "kg_custom_ontology": q_kg_custom_ontology,
     "kg_relevant_nodes": q_kg_relevant_nodes,
     "kg_communities": q_kg_communities,
+    "kg_entity_summaries": q_kg_entity_summaries,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1611,6 +1662,7 @@ ORACLES = {
     "kg_custom_ontology": SQL_KG_CUSTOM_ONTOLOGY,
     "kg_relevant_nodes": SQL_KG_RELEVANT_NODES,
     "kg_communities": SQL_KG_COMMUNITIES,
+    "kg_entity_summaries": SQL_KG_ENTITY_SUMMARIES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
