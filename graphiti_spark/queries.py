@@ -1424,6 +1424,44 @@ FROM base WHERE c_custkey % 2 = 0
 """
 
 
+def q_kg_search_filters(spark, sf_dir):
+    """Q8 SearchFilters compiler end-to-end (operators/search.py
+    compile_filters, mirroring search/search_filters.py:87-184): an
+    edge_types filter ANDed with an OR of two date groups —
+    (valid_at >= 00:01 AND invalid_at is null) OR (expired_at is not
+    null) — applied to the pipeline-built edges. The oracle wraps the
+    closed-form expected edge set in the equivalent WHERE clause, so both
+    the compiled predicate structure (AND-of-OR) and every OPS comparator
+    class (>=, is_null, is_not_null) are exercised."""
+    from graphiti_spark.operators.search import (DateFilter, SearchFilters,
+                                                 compile_filters)
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir, with_negation=True)
+    tr = tr.where(F.col("conv_id").isin(
+        [f"conv{i}" for i in range(300)]))   # bound driver runtime
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    flt = SearchFilters(
+        edge_types=["WORKS_AT", "LIVES_IN"],
+        date_groups=[
+            [DateFilter("valid_at", ">=",
+                        datetime(2024, 1, 1, 0, 1, tzinfo=timezone.utc)),
+             DateFilter("invalid_at", "is_null")],
+            [DateFilter("expired_at", "is_not_null")],
+        ])
+    return (g.edges.where(compile_filters(flt, kind="edge"))
+            .select("group_id", "name", "fact", "valid_at",
+                    "invalid_at", "expired_at"))
+
+
+SQL_KG_SEARCH_FILTERS = f"""
+SELECT * FROM ({SQL_KG_BUILD_EDGES}) e
+WHERE name IN ('WORKS_AT', 'LIVES_IN')
+  AND ((valid_at >= TIMESTAMP '2024-01-01 00:01:00'
+        AND invalid_at IS NULL)
+       OR expired_at IS NOT NULL)
+"""
+
+
 def q_embedding_knn_ivf(spark, sf_dir):
     """IVF ANN run at nprobe = n_cells (exhaustive probe): every cell is
     scanned, so the result is provably independent of the Lloyd-step
@@ -1622,6 +1660,7 @@ QUERIES = {
     "kg_relevant_nodes": q_kg_relevant_nodes,
     "kg_communities": q_kg_communities,
     "kg_entity_summaries": q_kg_entity_summaries,
+    "kg_search_filters": q_kg_search_filters,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1663,6 +1702,7 @@ ORACLES = {
     "kg_relevant_nodes": SQL_KG_RELEVANT_NODES,
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_entity_summaries": SQL_KG_ENTITY_SUMMARIES,
+    "kg_search_filters": SQL_KG_SEARCH_FILTERS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
