@@ -1424,6 +1424,73 @@ FROM base WHERE c_custkey % 2 = 0
 """
 
 
+def q_kg_node_distance(spark, sf_dir):
+    """J10/Q7 node-distance reranker (operators/search.py, mirroring
+    search_utils.py:893-936): center = conv0's person entity, candidates =
+    all entities of conv0 and conv1. Expected scores are closed-form on
+    the star graphs: the center scores 10.0, its 1-hop neighbors (conv0's
+    org and place) 1.0, everything else (conv1's entities, unreachable)
+    0.0. Names are exposed via an entities join because uuids are sha1
+    (not computable in DuckDB)."""
+    from graphiti_spark import rules
+    from graphiti_spark.operators.search import node_distance_reranker
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir, with_negation=True)
+    tr = tr.where(F.col("conv_id").isin(["conv0", "conv1"]))
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    center = rules.entity_uuid("conv0", "Customer000000000")
+    ranked = node_distance_reranker(g.edges, g.entities.select("uuid"),
+                                    center)
+    return (ranked.join(g.entities.select("uuid", "group_id", "name"),
+                        "uuid")
+            .select("group_id", "name", "score"))
+
+
+SQL_KG_NODE_DISTANCE = """
+WITH base AS (
+  SELECT c_custkey,
+         'conv' || CAST(c_custkey AS VARCHAR) AS group_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c_custkey < 2
+)
+SELECT group_id, person AS name,
+       CASE WHEN c_custkey = 0 THEN 10.0 ELSE 0.0 END AS score FROM base
+UNION ALL
+SELECT group_id, org AS name,
+       CASE WHEN c_custkey = 0 THEN 1.0 ELSE 0.0 END AS score FROM base
+UNION ALL
+SELECT group_id, place AS name,
+       CASE WHEN c_custkey = 0 THEN 1.0 ELSE 0.0 END AS score FROM base
+"""
+
+
+def q_kg_add_triplet(spark, sf_dir):
+    """Q11 add_triplet (operators/maintenance.py, mirroring
+    graphiti.py:979-1017): an arbitrary manual triple — not matching any
+    extraction template — becomes an edge row and runs through the same
+    dedupe + temporal-versioning stages. Output is the versioned edge;
+    the oracle states the expected single row."""
+    from graphiti_spark.operators.maintenance import add_triplet
+    e = add_triplet(spark, "manual-group", "Alpha Corp", "ACQUIRED",
+                    "Beta LLC", "Alpha Corp acquired Beta LLC",
+                    RUN_TS, valid_at=datetime(2024, 6, 1,
+                                              tzinfo=timezone.utc))
+    return e.select("group_id", "name", "fact", "valid_at", "invalid_at",
+                    "expired_at")
+
+
+SQL_KG_ADD_TRIPLET = """
+SELECT 'manual-group' AS group_id, 'ACQUIRED' AS name,
+       'Alpha Corp acquired Beta LLC' AS fact,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_at,
+       CAST(NULL AS TIMESTAMP) AS invalid_at,
+       CAST(NULL AS TIMESTAMP) AS expired_at
+"""
+
+
 def q_kg_search_filters(spark, sf_dir):
     """Q8 SearchFilters compiler end-to-end (operators/search.py
     compile_filters, mirroring search/search_filters.py:87-184): an
@@ -1661,6 +1728,8 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_entity_summaries": q_kg_entity_summaries,
     "kg_search_filters": q_kg_search_filters,
+    "kg_node_distance": q_kg_node_distance,
+    "kg_add_triplet": q_kg_add_triplet,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1703,6 +1772,8 @@ ORACLES = {
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_entity_summaries": SQL_KG_ENTITY_SUMMARIES,
     "kg_search_filters": SQL_KG_SEARCH_FILTERS,
+    "kg_node_distance": SQL_KG_NODE_DISTANCE,
+    "kg_add_triplet": SQL_KG_ADD_TRIPLET,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
