@@ -1424,6 +1424,55 @@ FROM base WHERE c_custkey % 2 = 0
 """
 
 
+def q_kg_mmr(spark, sf_dir):
+    """F5/Q7 grouped MMR through the real distributed path
+    (search.mmr_rerank_grouped: greedy loop inside applyInPandas keyed by
+    query_id, query vectors broadcast-joined — no driver collect). Run at
+    mmr_lambda=1, where the reference's MMR presets sit (COMBINED_*_MMR,
+    search_config_recipes.py) and where greedy MMR provably reduces to
+    pure relevance ordering (the (λ-1)·max_sim diversity term vanishes) —
+    so the oracle is an exact per-query cosine top-5. Scores rounded to
+    6 dp on both sides: numpy normalizes then dots (pairwise summation),
+    the SQL divides the raw dot by the norms — same value to ~1e-15.
+    Diversity behavior at λ<1 stays pytest-gated (tests/test_search.py)."""
+    from graphiti_spark.operators.search import mmr_rerank_grouped
+    e = load(spark, sf_dir, "embeddings")
+    cands = e.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").cast("string").alias("uuid"), "embedding")
+    queries = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    c = cands.crossJoin(F.broadcast(queries.select("query_id")))
+    out = mmr_rerank_grouped(c, queries, emb_col="embedding",
+                             mmr_lambda=1.0, limit=5)
+    return out.select("query_id", "uuid",
+                      F.round("score", 6).alias("score"), "rn")
+
+
+SQL_KG_MMR = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 4
+), c AS (
+  SELECT CAST(vec_id AS VARCHAR) AS uuid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id < 200
+), scored AS (
+  SELECT query_id, uuid,
+         list_sum(list_transform(range(1, len(ev) + 1), i -> ev[i] * qv[i]))
+           / (sqrt(list_sum(list_transform(ev, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS score
+  FROM q, c
+)
+SELECT query_id, uuid, round(score, 6) AS score, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, uuid) AS INTEGER) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def q_kg_node_distance(spark, sf_dir):
     """J10/Q7 node-distance reranker (operators/search.py, mirroring
     search_utils.py:893-936): center = conv0's person entity, candidates =
@@ -1729,6 +1778,7 @@ QUERIES = {
     "kg_entity_summaries": q_kg_entity_summaries,
     "kg_search_filters": q_kg_search_filters,
     "kg_node_distance": q_kg_node_distance,
+    "kg_mmr": q_kg_mmr,
     "kg_add_triplet": q_kg_add_triplet,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
@@ -1773,6 +1823,7 @@ ORACLES = {
     "kg_entity_summaries": SQL_KG_ENTITY_SUMMARIES,
     "kg_search_filters": SQL_KG_SEARCH_FILTERS,
     "kg_node_distance": SQL_KG_NODE_DISTANCE,
+    "kg_mmr": SQL_KG_MMR,
     "kg_add_triplet": SQL_KG_ADD_TRIPLET,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

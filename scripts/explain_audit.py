@@ -26,8 +26,10 @@ ALLOW_NESTED_LOOP = {"embedding_knn", "embedding_knn_ivf",
                                         # (8-row seed table × tokens)
                      "bm25_search",     # 1-row corpus-stats (N, avgdl)
                                         # broadcast onto the tf join
-                     "composite_search"}  # same bm25 stats broadcast,
+                     "composite_search",  # same bm25 stats broadcast,
                                           # once per layer
+                     "kg_mmr"}            # 4-row query-id broadcast onto
+                                          # the candidate table
 # Queries whose global (unpartitioned) windows rank only bounded inputs
 # (sort().limit() upstream): rrf_fusion ranks ≤200-row candidate lists,
 # build_ivf's seed ranking runs over ≤n_cells rows.
