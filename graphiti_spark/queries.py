@@ -1424,6 +1424,79 @@ FROM base WHERE c_custkey % 2 = 0
 """
 
 
+def q_kg_episode_mentions(spark, sf_dir):
+    """Q7 episode_mentions reranker (search.episode_mentions_reranker,
+    mirroring search_utils.py:939-965): relevance = MENTIONS count per
+    entity through the two-phase SALTED aggregation (the canonical hot-key
+    shape at scale). Counts are closed-form on the derived transcripts:
+    person = 2 mentions (+1 with the negation turn on even custkeys),
+    org = 1 (+1 even), place = 1."""
+    from graphiti_spark.operators.search import episode_mentions_reranker
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir, with_negation=True)
+    tr = tr.where(F.col("conv_id").isin(
+        [f"conv{i}" for i in range(300)]))   # bound driver runtime
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    ranked = episode_mentions_reranker(g.episodic_edges,
+                                       g.entities.select("uuid"))
+    return (ranked.join(g.entities.select("uuid", "group_id", "name"),
+                        "uuid")
+            .select("group_id", "name", "score"))
+
+
+SQL_KG_EPISODE_MENTIONS = """
+WITH base AS (
+  SELECT c_custkey,
+         'conv' || CAST(c_custkey AS VARCHAR) AS group_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place,
+         CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS neg
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c_custkey < 300
+)
+SELECT group_id, person AS name, 2.0 + neg AS score FROM base
+UNION ALL
+SELECT group_id, org AS name, 1.0 + neg AS score FROM base
+UNION ALL
+SELECT group_id, place AS name, 1.0 AS score FROM base
+"""
+
+
+def q_kg_edges_by_node(spark, sf_dir):
+    """S8 get_by_node_uuid (maintenance.get_edges_by_node, mirroring
+    edges.py:327-341): undirected endpoint match for conv0's person
+    entity — its WORKS_AT, LIVES_IN and (custkey 0 is even) negation
+    edges, and nothing from any other conversation."""
+    from graphiti_spark import rules
+    from graphiti_spark.operators.maintenance import get_edges_by_node
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir, with_negation=True)
+    tr = tr.where(F.col("conv_id").isin(["conv0", "conv1"]))
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    node = rules.entity_uuid("conv0", "Customer000000000")
+    return get_edges_by_node(g.edges, node).select("group_id", "name",
+                                                   "fact")
+
+
+SQL_KG_EDGES_BY_NODE = """
+WITH base AS (
+  SELECT replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c_custkey = 0
+)
+SELECT 'conv0' AS group_id, 'WORKS_AT' AS name,
+       person || ' works at ' || org AS fact FROM base
+UNION ALL
+SELECT 'conv0', 'WORKS_AT',
+       person || ' no longer works at ' || org FROM base
+UNION ALL
+SELECT 'conv0', 'LIVES_IN', person || ' lives in ' || place FROM base
+"""
+
+
 def q_kg_mmr(spark, sf_dir):
     """F5/Q7 grouped MMR through the real distributed path
     (search.mmr_rerank_grouped: greedy loop inside applyInPandas keyed by
@@ -1779,6 +1852,8 @@ QUERIES = {
     "kg_search_filters": q_kg_search_filters,
     "kg_node_distance": q_kg_node_distance,
     "kg_mmr": q_kg_mmr,
+    "kg_episode_mentions": q_kg_episode_mentions,
+    "kg_edges_by_node": q_kg_edges_by_node,
     "kg_add_triplet": q_kg_add_triplet,
     "kg_build_edges": q_kg_build_edges,
     "embedding_knn_ivf": q_embedding_knn_ivf,
@@ -1824,6 +1899,8 @@ ORACLES = {
     "kg_search_filters": SQL_KG_SEARCH_FILTERS,
     "kg_node_distance": SQL_KG_NODE_DISTANCE,
     "kg_mmr": SQL_KG_MMR,
+    "kg_episode_mentions": SQL_KG_EPISODE_MENTIONS,
+    "kg_edges_by_node": SQL_KG_EDGES_BY_NODE,
     "kg_add_triplet": SQL_KG_ADD_TRIPLET,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
