@@ -803,8 +803,11 @@ def q_composite_search(spark, sf_dir):
         COMBINED_HYBRID_SEARCH_RRF, search)
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
+    # All four layer slices and every bm25/cosine subtree derive from this
+    # one join — persist it so the ~16 downstream uses scan it once.
     de = (d.join(e, d["doc_id"] == e["vec_id"])
-          .select(F.col("doc_id").alias("uuid"), "text", "embedding"))
+          .select(F.col("doc_id").alias("uuid"), "text", "embedding")
+          .persist())
     qvec = [float(x) for x in
             e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
 
