@@ -157,3 +157,44 @@ def near_dup_pairs_lsh(embeddings: DataFrame, n_planes: int = 12,
     c = b.select(F.col(id_col).alias("id_b"), "bucket")
     return (a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            toks_col: str = "toks", n_hashes: int = 8,
+                            bands: int = 2,
+                            max_bucket: int = 100) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (shingle → minhash → band →
+    bucket equi-join), engine-portable (md5 of 'seed:token') and
+    mega-bucket-capped: a band bucket holding more than ``max_bucket``
+    docs is a degenerate low-entropy collision, not a near-dup cluster —
+    dropping it bounds join fan-out to O(#buckets · max_bucket²) at any
+    corpus size. ``docs`` carries (id_col, toks_col: array<string> of
+    DISTINCT tokens). The cap count rides a bucket-partitioned window on
+    the same shuffle the self-join needs."""
+    rows_per_band = n_hashes // bands
+    tok = docs.select(id_col, F.explode(toks_col).alias("tok"))
+    seeds = docs.sparkSession.range(n_hashes).select(
+        F.col("id").cast("int").alias("seed"))
+    sigs = (tok.crossJoin(F.broadcast(seeds))
+            .select(id_col, "seed",
+                    F.md5(F.concat_ws(":", F.col("seed"), F.col("tok")))
+                     .alias("h"))
+            .groupBy(id_col, "seed").agg(F.min("h").alias("mh")))
+    per_doc = (sigs.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("seed", "mh")))
+                     .alias("sig")))
+    band = lambda i, j: F.md5(F.concat_ws(
+        "", *[F.col("sig")[k]["mh"] for k in range(i, j)]))
+    keyed = (per_doc
+             .select(id_col,
+                     F.explode(F.array(*[
+                         F.concat(F.lit(f"b{b}:"),
+                                  band(b * rows_per_band,
+                                       (b + 1) * rows_per_band))
+                         for b in range(bands)])).alias("bk"))
+             .withColumn("_bn", F.count("*").over(Window.partitionBy("bk")))
+             .where(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = keyed.select(F.col(id_col).alias("doc_a"), "bk")
+    b = keyed.select(F.col(id_col).alias("doc_b"), "bk")
+    return (a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())

@@ -518,32 +518,12 @@ def q_dedup_minhash(spark, sf_dir):
     dropped at MINHASH_MAX_BUCKET via a bk-partitioned count window (rides
     the same bk shuffle the self-join needs — no extra scan). Engine-
     portable because the hash is md5 of 'seed:token' (identical in any
-    engine)."""
+    engine). Plan lives in operators/ann.minhash_candidate_pairs; the
+    1M-doc scale probe (scripts/exp_docs.py) runs the same function."""
+    from graphiti_spark.operators.ann import minhash_candidate_pairs
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", F.array_distinct(F.expr(_TOKS)).alias("toks")))
-    tok = d.select("doc_id", F.explode("toks").alias("tok"))
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
-    sigs = (tok.crossJoin(F.broadcast(seeds))
-            .select("doc_id", "seed",
-                    F.md5(F.concat_ws(":", F.col("seed"), F.col("tok")))
-                     .alias("h"))
-            .groupBy("doc_id", "seed").agg(F.min("h").alias("mh")))
-    per_doc = (sigs.groupBy("doc_id")
-               .agg(F.array_sort(F.collect_list(F.struct("seed", "mh")))
-                     .alias("sig")))
-    band = lambda i, j: F.md5(F.concat_ws(
-        "", *[F.col("sig")[k]["mh"] for k in range(i, j)]))
-    keyed = (per_doc
-             .select("doc_id",
-                     F.explode(F.array(
-                         F.concat(F.lit("b0:"), band(0, 4)),
-                         F.concat(F.lit("b1:"), band(4, 8)))).alias("bk"))
-             .withColumn("_bn", F.count("*").over(Window.partitionBy("bk")))
-             .where(F.col("_bn") <= MINHASH_MAX_BUCKET).drop("_bn"))
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "bk")
-    b = keyed.select(F.col("doc_id").alias("doc_b"), "bk")
-    return (a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+    return minhash_candidate_pairs(d, max_bucket=MINHASH_MAX_BUCKET)
 
 
 SQL_DEDUP_MINHASH = """
