@@ -92,13 +92,31 @@ def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
             .where(F.col("_rn") == 1).select("_id", "cell_id"))
 
 
+def ivf_index(embeddings: DataFrame, assignments: DataFrame,
+              id_col: str = "vec_id", emb_col: str = "embedding"
+              ) -> DataFrame:
+    """The stored IVF layout: corpus rows tagged with their cell_id,
+    repartitioned BY CELL — built once, queried many times. On a real
+    deployment this is the cell-partitioned (bucketed) table; probing
+    nprobe cells then prunes the scan to nprobe/n_cells of the files.
+    → (neighbor_id, nv, cell_id)."""
+    return (embeddings.select(F.col(id_col).alias("neighbor_id"),
+                              F.expr(_qvec(emb_col)).alias("nv"))
+            .join(assignments.withColumnRenamed(id_col, "neighbor_id"),
+                  "neighbor_id")
+            .repartition("cell_id"))
+
+
 def ivf_knn(embeddings: DataFrame, queries: DataFrame,
             centroids: DataFrame, assignments: DataFrame,
             k: int = 5, nprobe: int = 4,
-            id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            indexed: DataFrame | None = None) -> DataFrame:
     """Probe the ``nprobe`` closest cells per query, exact-rerank inside.
     Candidate volume ≈ nprobe/n_cells of the corpus — the scan-pruning
-    that makes 100 TB ANN tractable (cells = partition key)."""
+    that makes 100 TB ANN tractable (cells = partition key). Pass
+    ``indexed`` (a persisted :func:`ivf_index`) to query the stored
+    layout instead of re-deriving the corpus⋈assignments join per call."""
     probes = queries.select("query_id", F.expr(_qvec(emb_col)).alias("qv"))
     wq = Window.partitionBy("query_id").orderBy(F.col("d").desc(), "cell_id")
     probe_cells = (F.broadcast(probes).crossJoin(F.broadcast(centroids))
@@ -107,10 +125,11 @@ def ivf_knn(embeddings: DataFrame, queries: DataFrame,
                    .withColumn("_rn", F.row_number().over(wq))
                    .where(F.col("_rn") <= nprobe)
                    .select("query_id", "cell_id", "qv"))
-    corpus = (embeddings.select(F.col(id_col).alias("neighbor_id"),
-                                F.expr(_qvec(emb_col)).alias("nv"))
-              .join(assignments.withColumnRenamed(id_col, "neighbor_id"),
-                    "neighbor_id"))
+    corpus = indexed if indexed is not None else (
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.expr(_qvec(emb_col)).alias("nv"))
+        .join(assignments.withColumnRenamed(id_col, "neighbor_id"),
+              "neighbor_id"))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score_q").desc(), F.col("neighbor_id")))
     return (probe_cells.join(corpus, "cell_id")
