@@ -169,9 +169,18 @@ def signlsh_buckets(embeddings: DataFrame, n_planes: int = 16,
 
 
 def near_dup_pairs_lsh(embeddings: DataFrame, n_planes: int = 12,
-                       id_col: str = "vec_id") -> DataFrame:
-    """Embedding near-duplicate candidates via sign-LSH bucket equi-join."""
+                       id_col: str = "vec_id",
+                       max_bucket: int = 100) -> DataFrame:
+    """Embedding near-duplicate candidates via sign-LSH bucket equi-join,
+    mega-bucket-capped like :func:`minhash_candidate_pairs`: on clustered
+    corpora whole clusters share sign bits, so an uncapped bucket join
+    would emit O(cluster²) pairs per bucket — a bucket with more than
+    ``max_bucket`` members is a density artifact, not a near-dup set.
+    The cap rides a bucket-partitioned count window on the shuffle the
+    self-join already needs."""
     b = signlsh_buckets(embeddings, n_planes, id_col)
+    b = (b.withColumn("_bn", F.count("*").over(Window.partitionBy("bucket")))
+         .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = b.select(F.col(id_col).alias("id_a"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"), "bucket")
     return (a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))

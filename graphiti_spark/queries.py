@@ -1694,9 +1694,11 @@ WITH q AS (
              x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
   FROM embeddings
 ), b AS (
-  SELECT vec_id,
-         {" || ".join(_near_dup_bit_sql(i) for i in range(10))} AS bucket
-  FROM q
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id,
+           {" || ".join(_near_dup_bit_sql(i) for i in range(10))} AS bucket
+    FROM q)
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= 100
 )
 SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
