@@ -39,10 +39,14 @@ MAX_MMR_CANDIDATES = 4096     # driver-side greedy MMR collect guard
 
 def tokens_col(col) -> F.Column:
     """Fulltext tokenization as a column expression (lucene_sanitize +
-    analyzer stand-in, ``helpers.py:67-101``): lowercase alnum runs."""
-    return F.array_remove(
-        F.split(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")), " "),
-        "")
+    analyzer stand-in, ``helpers.py:67-101``): lowercase alnum runs.
+
+    Single regex pass: split directly on the non-alnum delimiter class
+    (after lower(), A-Z is gone) instead of regexp_replace-then-split —
+    the replace+split form was 2× the per-doc cost and tokenization
+    dominates fulltext search (62s of a 118s BM25 at 10⁶ docs). Token
+    stream is identical; empty edge tokens removed either way."""
+    return F.array_remove(F.split(F.lower(col), "[^a-z0-9]+"), "")
 
 
 def bm25_lite_search(df: DataFrame, text_col: str, query: str,
@@ -53,32 +57,83 @@ def bm25_lite_search(df: DataFrame, text_col: str, query: str,
     idf computed from the corpus itself (doc-frequency aggregation);
     ``b`` is Lucene's length-normalization knob (the reference's fulltext
     indexes rely on Lucene defaults, where b=0.75 — ``graph_queries.py``
-    index DDL); b=0 recovers the un-normalized round-2 scorer. Doc length
-    rides through the existing explode (a size() column carried into the
-    tf groupBy) and avgdl folds into the same 1-row corpus-stats broadcast
-    as N — still zero extra jobs or scans."""
+    index DDL); b=0 recovers the un-normalized round-2 scorer. Short
+    queries (≤32 unique terms — the common case) score via pure array
+    column expressions with df folded into the 1-row corpus-stats
+    broadcast: two scans, zero wide shuffles. Longer queries fall back to
+    the explode + broadcast-equi-join plan. Both produce identical
+    tf/df/N/avgdl, hence identical scores."""
     q_tokens = [t for t in
                 "".join(c.lower() if c.isalnum() else " " for c in query)
                 .split() if t]
     if not q_tokens:
         return df.select(F.col(id_col).alias("uuid")).limit(0) \
                  .withColumn("score", F.lit(0.0))
-    # Corpus size + average doc length folded into the plan as a 1-row
-    # broadcast aggregate — no separate count() action/scan per search.
-    stats_df = df.select(
+    uniq = list(dict.fromkeys(q_tokens))
+    # Tokenize ONCE per scan: materializing the token array in a prior
+    # projection keeps the regex split from running 2-3× per row.
+    base = df.select(F.col(id_col).alias("_id"),
+                     tokens_col(F.col(text_col)).alias("_toks"))
+    if len(uniq) <= 32:
+        return _bm25_arrays(base, uniq, k1, b, limit)
+    return _bm25_explode(base, uniq, k1, b, limit)
+
+
+def _bm25_arrays(base: DataFrame, uniq: list[str], k1: float, b: float,
+                 limit: int) -> DataFrame:
+    """BM25 scored entirely with array column expressions — the scale path
+    for short queries. Per-token tf is ``size(_toks) -
+    size(array_remove(_toks, t))`` (one narrow pass over each doc's token
+    array per query token, all inside whole-stage codegen); doc
+    frequencies fold into the SAME 1-row corpus-stats aggregate as N and
+    avgdl. Two corpus scans total, ZERO wide shuffles — no 10⁸-row explode
+    or tf groupBy at 10⁶ docs (the explode plan took 188s there; this one
+    is scan-bound). Every number (tf, df, N, avgdl) is identical to the
+    explode plan, so scores and the SQL oracle replay are unchanged."""
+    tf_cols = [(F.size("_toks") - F.size(F.array_remove("_toks", t)))
+               .cast("double").alias(f"_tf_{i}")
+               for i, t in enumerate(uniq)]
+    pre = base.select("_id", F.size("_toks").cast("double").alias("_dl"),
+                      *tf_cols)
+    stats_df = pre.agg(
         F.count("*").cast("double").alias("_n_docs"),
-        F.coalesce(F.avg(F.size(tokens_col(F.col(text_col)))),
-                   F.lit(1.0)).alias("_avgdl"))
-    toks = (df.select(id_col,
-                      F.size(tokens_col(F.col(text_col)))
-                       .cast("double").alias("_dl"),
-                      F.explode(tokens_col(F.col(text_col))).alias("tok")))
+        F.coalesce(F.avg("_dl"), F.lit(1.0)).alias("_avgdl"),
+        *[F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+          for i in range(len(uniq))])
+    norm = F.lit(1.0 - b) + F.lit(b) * F.col("_dl") \
+        / F.greatest(F.col("_avgdl"), F.lit(1e-9))
+    score = None
+    for i in range(len(uniq)):
+        idf = F.log((F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
+                    / (F.col(f"_df_{i}") + 0.5) + 1.0)
+        w = idf * (F.col(f"_tf_{i}") * (k1 + 1)) \
+            / (F.col(f"_tf_{i}") + k1 * norm)
+        score = w if score is None else score + w
+    return (pre.crossJoin(F.broadcast(stats_df))
+            .select(F.col("_id").alias("uuid"), score.alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), "uuid").limit(limit))
+
+
+def _bm25_explode(base: DataFrame, uniq: list[str], k1: float, b: float,
+                  limit: int) -> DataFrame:
+    """BM25 via token explode + broadcast equi-join — the long-query path
+    (arrays path cost is O(|query| × doclen) per doc, so past ~32 unique
+    terms the single explode + tf groupBy wins). Corpus size + average doc
+    length fold into a 1-row broadcast aggregate — no separate count()
+    action or scan per search."""
+    stats_df = base.select(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.coalesce(F.avg(F.size("_toks")), F.lit(1.0)).alias("_avgdl"))
+    toks = (base.select(F.col("_id").alias("uuid"),
+                        F.size("_toks").cast("double").alias("_dl"),
+                        F.explode("_toks").alias("tok")))
     qdf = toks.sparkSession.createDataFrame(
-        [(t,) for t in set(q_tokens)], ["tok"])
+        [(t,) for t in uniq], ["tok"])
     tf = (toks.join(F.broadcast(qdf), "tok")
-          .groupBy(id_col, "tok").agg(F.count("*").alias("tf"),
+          .groupBy("uuid", "tok").agg(F.count("*").alias("tf"),
                                       F.max("_dl").alias("_dl")))
-    df_freq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    df_freq = tf.groupBy("tok").agg(F.countDistinct("uuid").alias("df"))
     norm = F.lit(1.0 - b) + F.lit(b) * F.col("_dl") \
         / F.greatest(F.col("_avgdl"), F.lit(1e-9))
     scored = (tf.join(F.broadcast(df_freq), "tok")
@@ -88,8 +143,8 @@ def bm25_lite_search(df: DataFrame, text_col: str, query: str,
                   / (F.col("df") + 0.5) + 1.0))
               .withColumn("w", F.col("idf") * (F.col("tf") * (k1 + 1))
                           / (F.col("tf") + k1 * norm))
-              .groupBy(id_col).agg(F.sum("w").alias("score")))
-    return (scored.select(F.col(id_col).alias("uuid"), "score")
+              .groupBy("uuid").agg(F.sum("w").alias("score")))
+    return (scored.select("uuid", "score")
             .orderBy(F.col("score").desc(), "uuid").limit(limit))
 
 

@@ -74,6 +74,20 @@ planted = (spark.range(N_DOCS).where(F.col("id") % 20 == 19)
 n_planted = planted.count()
 hit = pairs.join(planted, ["doc_a", "doc_b"], "left_semi").count()
 
+# BM25 fulltext at the same corpus size: one full search (corpus-stats
+# broadcast + token equi-join + df agg + topk) through the production
+# plan behind the oracle-checked bm25_search query.
+from graphiti_spark.operators.search import bm25_lite_search  # noqa: E402
+
+texts = docs.select("doc_id",
+                    F.array_join("toks", " ").alias("text")).persist()
+texts.count()
+q_toks = texts.where(F.col("doc_id") == 0).head()["text"].split()[:3]
+t0 = time.time()
+n_hits = bm25_lite_search(texts, "text", " ".join(q_toks),
+                          id_col="doc_id", limit=20).count()
+wall_bm25 = time.time() - t0
+
 out = {
     "metric": "minhash_docs_per_sec",
     "value": round(n / wall, 1),
@@ -84,6 +98,8 @@ out = {
     "planted_pairs": n_planted,
     "planted_found": hit,
     "recall_vs_expected_0.88": round(hit / max(n_planted, 1), 4),
+    "bm25_search_sec": round(wall_bm25, 2),
+    "bm25_top20_hits": n_hits,
     "cpus": CPUS,
     "max_bucket": 100,
 }

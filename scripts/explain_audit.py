@@ -39,16 +39,53 @@ ALLOW_GLOBAL_WINDOW = {"rrf_fusion", "embedding_knn_ivf",
                        "composite_search"}
 
 
+def _wsd_args(line: str) -> str | None:
+    """Text inside the first windowspecdefinition(...) — paren-matched,
+    since args nest (coalesce(), cast(), specifiedwindowframe())."""
+    i = line.find("windowspecdefinition(")
+    if i < 0:
+        return None
+    j = i + len("windowspecdefinition(")
+    depth, k = 1, j
+    while k < len(line) and depth:
+        depth += {"(": 1, ")": -1}.get(line[k], 0)
+        k += 1
+    return line[j:k - 1]
+
+
+def _split_top(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for c in s:
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += {"(": 1, ")": -1}.get(c, 0)
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
 def global_windows(plan: str) -> int:
     """Count Window nodes with NO partition spec — every corpus row
-    through one task, the #1 scale-killer shape. In formatted explain a
-    partitioned Window's Arguments line has three top-level bracket
-    groups (functions, partition cols, order cols) = two `], [`
-    separators; a global one has only two groups = one separator."""
+    through one task, the #1 scale-killer shape. Parse the
+    windowspecdefinition args: everything before specifiedwindowframe is
+    partition cols (bare expressions) then order cols (suffixed
+    ASC/DESC NULLS ...). A spec whose pre-frame args ALL carry a sort
+    direction has no partition columns → global. (Bracket-group counting
+    can't tell partitioned-unordered from global-ordered — both print
+    two groups.)"""
     n = 0
     for line in plan.splitlines():
-        if "windowspecdefinition" in line and "Arguments:" in line \
-                and line.count("], [") == 1:
+        if "windowspecdefinition" not in line or "Arguments:" not in line:
+            continue
+        args = _wsd_args(line)
+        if args is None:
+            continue
+        pre = [p for p in _split_top(args)
+               if not p.startswith("specifiedwindowframe")]
+        if not any(" ASC" not in p and " DESC" not in p for p in pre):
             n += 1
     return n
 
