@@ -418,11 +418,20 @@ def canonicalize_entities(entities: DataFrame, run_ts,
 
 def resolve_edge_pointers(edges: DataFrame, uuid_map: DataFrame) -> DataFrame:
     """J8 — remap edge endpoints through the canonical map
-    (``bulk_utils.py:420-427``): two joins + coalesce."""
-    src_map = uuid_map.select(F.col("uuid").alias("source_node_uuid"),
-                              F.col("canonical_uuid").alias("_src_c"))
-    dst_map = uuid_map.select(F.col("uuid").alias("target_node_uuid"),
-                              F.col("canonical_uuid").alias("_dst_c"))
+    (``bulk_utils.py:420-427``): two joins + coalesce.
+
+    Only genuine renames join: the left-join + coalesce already treats an
+    absent key as identity, and most entities are singletons
+    (canonical_uuid == uuid), so filtering the map to changed rows shrinks
+    the join side from |entities| to |duplicates| — small enough for AQE
+    to broadcast, which removes both edge-table shuffles. At 100 TB the
+    rename set is the only part of the entity table an edge remap ever
+    needs to move."""
+    renames = uuid_map.where(F.col("canonical_uuid") != F.col("uuid"))
+    src_map = renames.select(F.col("uuid").alias("source_node_uuid"),
+                             F.col("canonical_uuid").alias("_src_c"))
+    dst_map = renames.select(F.col("uuid").alias("target_node_uuid"),
+                             F.col("canonical_uuid").alias("_dst_c"))
     return (
         edges
         .join(src_map, "source_node_uuid", "left")

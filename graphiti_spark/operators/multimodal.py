@@ -2,15 +2,22 @@
 
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, processed via Arrow-batched ``mapInPandas`` — the schema,
-partitioning, UDF signatures and batch shapes are real and tested; only the
-codec step is stubbed (no image/audio libraries in this container) behind
-``decode_image``/``decode_audio``:
+partitioning, UDF signatures and batch shapes are real and tested.
 
-  * with ``deterministic_fake=True`` (default) the "decode" derives
+Two decode layers, honestly separated:
+
+  * **Container metadata is REAL**: ``probe_media`` parses PNG / JPEG /
+    GIF / BMP headers (magic + dimension fields) and WAV RIFF chunks
+    (sample rate / duration) directly from the payload bytes — no codec
+    library needed, same information ``identify``/``ffprobe`` reads.
+    ``sniff_media`` runs it distributed as a narrow ``mapInPandas``.
+  * **Pixel/sample decode is STUBBED** (no image/audio libraries in this
+    container) behind ``decode_image``/``decode_audio``: with
+    ``deterministic_fake=True`` (default) the "decode" derives
     byte-statistics features from the payload itself — stable, testable,
-    and exercising the full distributed path;
-  * with ``deterministic_fake=False`` it raises ``NotImplementedError``
-    where a real ``PIL.Image.open`` / ``soundfile.read`` call would go.
+    and exercising the full distributed path; with ``False`` it raises
+    ``NotImplementedError`` where ``PIL.Image.open`` / ``soundfile.read``
+    would go.
 
 At cluster scale the binary payloads dominate shuffle size, so every
 transform here is a narrow map (no shuffle); downstream joins should carry
@@ -47,6 +54,96 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 FEATURE_DIM = 32
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("mime_detected", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+# JPEG start-of-frame markers that carry dimensions (SOF0-15 minus
+# DHT/JPG/DAC which share the 0xC0 nibble but aren't frames).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def probe_media(b: bytes) -> tuple[str | None, int | None, int | None,
+                                   int | None]:
+    """REAL container-metadata parse from payload bytes — no codec libs:
+    (mime, width, height, duration_ms), Nones where the field doesn't
+    apply or the container is unrecognized.
+
+      * PNG — IHDR is mandatorily the first chunk, so width/height are the
+        two big-endian u32s at offsets 16/20.
+      * GIF / BMP — little-endian dims in the fixed header (BMP height may
+        be negative = top-down; absolute value is the pixel height).
+      * JPEG — walk the marker stream to the first SOF frame header
+        (height/width big-endian u16 at +5/+7 inside the segment).
+      * WAV — RIFF/WAVE chunk walk: fmt's byte-rate + data's size give
+        duration; chunks are padded to even offsets per the spec.
+    """
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        return ("image/png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"), None)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("image/gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"), None)
+    if len(b) >= 26 and b[:2] == b"BM":
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return ("image/bmp", int.from_bytes(b[18:22], "little"),
+                abs(h), None)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker, seglen = b[i + 1], int.from_bytes(b[i + 2:i + 4], "big")
+            if marker in _JPEG_SOF:
+                return ("image/jpeg",
+                        int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"), None)
+            if marker == 0xD9 or seglen < 2:       # EOI / corrupt
+                break
+            i += 2 + seglen
+        return ("image/jpeg", None, None, None)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        byte_rate, data_size, i = None, None, 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            clen = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 16 + 4 <= len(b):
+                byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+            elif cid == b"data":
+                data_size = clen
+            i += 8 + clen + (clen & 1)             # chunks pad to even
+        dur = (int(data_size * 1000 / byte_rate)
+               if byte_rate and data_size is not None else None)
+        return ("audio/wav", None, None, dur)
+    return (None, None, None, None)
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA → PROBE_SCHEMA: distributed header probe, narrow
+    Arrow-batched map (no shuffle — the binary column never moves)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe_media(bytes(p) if p is not None else b"")
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "mime_detected": pd.Series(
+                    [r[0] for r in rows], dtype="object"),
+                "width": pd.Series([r[1] for r in rows], dtype="Int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="Int32"),
+                "duration_ms": pd.Series(
+                    [r[3] for r in rows], dtype="Int32"),
+                "n_bytes": pd.Series(
+                    [len(bytes(p)) if p is not None else 0
+                     for p in pdf["payload"]], dtype="int64"),
+            })
+    return media.mapInPandas(run, PROBE_SCHEMA)
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = True) -> np.ndarray:

@@ -1,0 +1,120 @@
+"""Graph-traversal scale probe: BFS + label propagation at 10⁶⁺ nodes.
+
+The driver testdata builds graphs of ~10³ edges, so the traversal
+operators (J9 BFS, A4 label propagation) never see scale there. This
+probe synthesizes a deterministic graph IN SPARK (no files, no Python
+UDFs): N nodes in disjoint clusters of 20, each cluster a ring + chord
+(node i — i+1 and i — i+2 within its cluster, degree ≤ 4), and runs the
+exact production operators (`operators/search.bfs_search`,
+`operators/communities.label_propagation`).
+
+Correctness at scale is closed-form on this topology:
+
+  * BFS scale-invariance — the origin's cluster is identical whether the
+    graph holds 1 cluster or 100 000, so `bfs_search(origin, depth=3)`
+    must return the IDENTICAL (edge_uuid, hops) set at N=20 and at full
+    N. Any frontier/seen-set leakage across the bigger graph would show.
+  * LPA fixpoint — clusters are disconnected, so every node's final
+    community must be exactly the max uuid of its own cluster
+    (labels are zero-padded strings; monotone adoption converges to the
+    cluster max). Checked for every node, not sampled.
+
+Results → BENCH_GRAPH.json.
+
+Usage: python scripts/exp_graph.py [n_nodes] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F                              # noqa: E402
+
+from graphiti_spark.operators.communities import label_propagation  # noqa: E402
+from graphiti_spark.operators.search import bfs_search              # noqa: E402
+from graphiti_spark.session import get_spark, ship_package          # noqa: E402
+
+N_NODES = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+CSIZE = 20
+
+spark = get_spark(app="exp_graph", cores=CPUS,
+                  shuffle_partitions=max(8, min(CPUS, 16)))
+ship_package(spark)
+spark.sparkContext.setLogLevel("ERROR")
+
+_uuid = lambda c: F.format_string("n%09d", c)
+_grp = lambda c: F.format_string("g%08d", (c / CSIZE).cast("long"))
+
+
+def graph(n):
+    """nodes (uuid, group_id) + edges (uuid, group_id, source_node_uuid,
+    target_node_uuid): ring + chord inside each 20-node cluster."""
+    nodes = (spark.range(n).repartition(max(CPUS, 8))
+             .select(_uuid(F.col("id")).alias("uuid"),
+                     _grp(F.col("id")).alias("group_id")))
+    parts = []
+    for off in (1, 2):
+        parts.append(
+            spark.range(n).repartition(max(CPUS, 8))
+            .where((F.col("id") % CSIZE) < CSIZE - off)
+            .select(F.format_string(f"e%09d+{off}", F.col("id")).alias("uuid"),
+                    _grp(F.col("id")).alias("group_id"),
+                    _uuid(F.col("id")).alias("source_node_uuid"),
+                    _uuid(F.col("id") + off).alias("target_node_uuid")))
+    return nodes, parts[0].unionByName(parts[1])
+
+
+# --- BFS: tiny reference answer (one cluster), then the full graph ----
+_, edges_tiny = graph(CSIZE)
+ref = sorted((r["uuid"], r["hops"])
+             for r in bfs_search(edges_tiny, ["n000000000"]).collect())
+
+nodes, edges = graph(N_NODES)
+edges = edges.persist()
+n_edges = edges.count()          # materialize outside the timed window
+
+t0 = time.time()
+big = sorted((r["uuid"], r["hops"])
+             for r in bfs_search(edges, ["n000000000"]).collect())
+wall_bfs = time.time() - t0
+bfs_invariant = big == ref
+
+# --- LPA: full closed-form community check -----------------------------
+nodes = nodes.persist()
+nodes.count()
+t0 = time.time()
+labels = label_propagation(nodes, edges).persist()
+n_labeled = labels.count()
+wall_lpa = time.time() - t0
+
+expected = _uuid(
+    (F.substring("uuid", 2, 9).cast("long") / CSIZE).cast("long") * CSIZE
+    + (CSIZE - 1))
+n_wrong = labels.where(F.col("community") != expected).count()
+n_comms = labels.select("community").distinct().count()
+
+out = {
+    "metric": "lpa_nodes_per_sec",
+    "value": round(N_NODES / wall_lpa, 1),
+    "unit": "nodes/sec",
+    "n_nodes": N_NODES,
+    "n_edges": n_edges,
+    "bfs_sec": round(wall_bfs, 2),
+    "bfs_edges_returned": len(big),
+    "bfs_scale_invariant": bfs_invariant,
+    "lpa_sec": round(wall_lpa, 2),
+    "lpa_communities": n_comms,
+    "lpa_expected_communities": N_NODES // CSIZE,
+    "lpa_wrong_labels": n_wrong,
+    "cpus": CPUS,
+}
+print(json.dumps(out))
+with open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_GRAPH.json"), "w") as f:
+    json.dump(out, f, indent=1)
