@@ -38,7 +38,7 @@ HEADLINE = [
     "canonical_remap", "bfs_2hop", "rrf_fusion", "top_k_per_group",
     "union_dedup", "pricing_summary", "dedup_exact", "dedup_jaccard",
     "dedup_minhash", "embedding_knn", "embedding_centroid", "token_count",
-    "quality_filter", "lang_id", "cross_encoder_rerank",
+    "quality_filter", "lang_id", "lang_id_ngram", "cross_encoder_rerank",
     "kg_extract_triples", "kg_mentions", "kg_json_episodes",
     "kg_fact_dates", "kg_custom_ontology", "kg_relevant_nodes",
     "bm25_search", "composite_search", "doc_fingerprint",

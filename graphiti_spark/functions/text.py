@@ -203,6 +203,33 @@ def lang_id(text: str) -> str:
     return best if scores[best] > 0 else "unknown"
 
 
+# Character-trigram profiles (ascii-only so length()/replace() arithmetic
+# is engine-identical): the classic n-gram language-ID signal, counted
+# via non-overlapping occurrences. Trigram sets may overlap across
+# languages — scores compete, argmax decides.
+TRIGRAM_PROFILES = {
+    "de": ["der", "ein", "ich", "sch", "und"],
+    "en": [" th", "the", "and", "ing", " of"],
+    "es": [" la", "que", " de", "cio", "ado"],
+    "fr": ["les", " de", "ent", "ait", "eur"],
+}
+
+
+def lang_id_ngram(text: str) -> str:
+    """N-gram language heuristic: argmax of per-language trigram
+    occurrence counts, alphabetically-first language wins ties, 'und'
+    when nothing matches. The Spark/DuckDB replay counts occurrences as
+    (length(t) - length(replace(t, tg, ''))) — 3× this score, same
+    argmax (queries.q_lang_id_ngram / SQL_LANG_ID_NGRAM)."""
+    t = (text or "").lower()
+    best_s, best_l = 0, "und"
+    for lang in sorted(TRIGRAM_PROFILES):
+        s = sum(t.count(tg) for tg in TRIGRAM_PROFILES[lang])
+        if s > best_s:
+            best_s, best_l = s, lang
+    return best_l
+
+
 def quality_score(text: str) -> float:
     """Heuristic document quality in [0,1]: length, alpha ratio,
     stopword presence, repetition penalty."""

@@ -733,6 +733,65 @@ FROM p GROUP BY 1
 SQL_LANG_ID = _sql_lang_id()
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Language-ID histogram through the n-gram heuristic: per-language
+    character-trigram occurrence counts via pure length/replace
+    arithmetic — (length(t) - length(replace(t, tg, ''))) sums to 3× the
+    non-overlapping occurrence count — so the whole classifier is one
+    codegen'd projection, zero UDFs, and the DuckDB oracle replays the
+    identical arithmetic. Argmax with alphabetically-first tie-break
+    (the CASE chain tests languages in sorted order), 'und' at score 0 —
+    same decision rule as functions/text.lang_id_ngram."""
+    from graphiti_spark.functions.text import TRIGRAM_PROFILES
+
+    d = load(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    langs = sorted(TRIGRAM_PROFILES)
+    scores = {}
+    for lang in langs:
+        parts = [F.length(t) - F.length(F.replace(t, F.lit(tg), F.lit("")))
+                 for tg in TRIGRAM_PROFILES[lang]]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s + p
+        scores[lang] = s
+    d = d.select(*[scores[lang].alias(f"s_{lang}") for lang in langs])
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"s_{lang}") == mx, F.lit(lang))
+    return (d.select(pred.alias("lang"))
+            .groupBy("lang").agg(F.count("*").alias("n_docs")))
+
+
+def _sql_lang_id_ngram() -> str:
+    from graphiti_spark.functions.text import TRIGRAM_PROFILES
+    langs = sorted(TRIGRAM_PROFILES)
+
+    def score(lang):
+        return " + ".join(
+            f"(length(t) - length(replace(t, '{tg}', '')))"
+            for tg in TRIGRAM_PROFILES[lang])
+
+    scores = ",\n         ".join(f"{score(lang)} AS s_{lang}"
+                                 for lang in langs)
+    mx = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    case = " ".join(f"WHEN s_{lang} = mx THEN '{lang}'" for lang in langs)
+    return f"""
+WITH s AS (
+  SELECT {scores}
+  FROM (SELECT lower(text) AS t FROM documents)
+), p AS (
+  SELECT CASE WHEN mx = 0 THEN 'und' {case} END AS lang
+  FROM (SELECT *, {mx} AS mx FROM s)
+)
+SELECT lang, count(*) AS n_docs FROM p GROUP BY lang
+"""
+
+
+SQL_LANG_ID_NGRAM = _sql_lang_id_ngram()
+
+
 def q_cross_encoder_rerank(spark, sf_dir):
     """Q7 cross_encoder reranker stand-in (operators/search.py
     cross_encoder_rank): lexical-overlap score of each document vs a fixed
@@ -1823,6 +1882,7 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
+    "lang_id_ngram": q_lang_id_ngram,
     "cross_encoder_rerank": q_cross_encoder_rerank,
     "bm25_search": q_bm25_search,
     "composite_search": q_composite_search,
@@ -1870,6 +1930,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "quality_filter": SQL_QUALITY_FILTER,
     "lang_id": SQL_LANG_ID,
+    "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "bm25_search": SQL_BM25_SEARCH,
     "composite_search": SQL_COMPOSITE_SEARCH,

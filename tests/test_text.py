@@ -81,3 +81,16 @@ def test_rolling_fingerprint_stable():
     f1 = tx.rolling_fingerprint("some document text for fingerprinting")
     f2 = tx.rolling_fingerprint("some document text for fingerprinting")
     assert f1 == f2 and len(f1) > 0
+
+
+def test_lang_id_ngram():
+    assert tx.lang_id_ngram(
+        "the quick brown fox is jumping over the lazy dog of the farm") == "en"
+    assert tx.lang_id_ngram(
+        "ich bin ein berliner und der schnee ist schoen") == "de"
+    assert tx.lang_id_ngram(
+        "les enfants etaient dans le jardin avec leur professeur") == "fr"
+    assert tx.lang_id_ngram(
+        "que la situacion de los ciudadanos era complicada") == "es"
+    assert tx.lang_id_ngram("zzz qqq 123") == "und"
+    assert tx.lang_id_ngram("") == "und"
