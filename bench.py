@@ -42,7 +42,7 @@ HEADLINE = [
     "kg_extract_triples", "kg_mentions", "kg_json_episodes",
     "kg_fact_dates", "kg_custom_ontology", "kg_relevant_nodes",
     "bm25_search", "composite_search", "doc_fingerprint",
-    "simhash_buckets", "embedding_near_dup",
+    "simhash_buckets", "embedding_near_dup", "media_probe",
 ]
 
 

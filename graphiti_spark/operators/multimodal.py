@@ -208,6 +208,51 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     "width", "height", "payload"))
 
 
+def synthetic_containers(documents: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL container bytes, built
+    entirely JVM-side (hex-string concat → unhex, CRC via Spark's own
+    crc32) — no Python, no files:
+
+      * even doc_id → structurally valid PNG (signature + IHDR with a
+        real CRC + IEND; no IDAT, so parseable-not-renderable), width =
+        16 + doc_id % 32, height = 9 + doc_id % 7 — per-row dims that a
+        downstream probe must actually READ out of the bytes;
+      * odd doc_id → fully valid 8 kHz 16-bit mono WAV of 4 000 zero
+        samples (500 ms), constant bytes.
+
+    Closes the loop for an oracle: DuckDB can't parse binaries, but it
+    can state these dims closed-form from doc_id arithmetic, so
+    `sniff_media(synthetic_containers(docs))` is SQL-checkable."""
+    w = (F.lit(16) + F.col("doc_id") % 32).cast("int")
+    h = (F.lit(9) + F.col("doc_id") % 7).cast("int")
+    whex = F.lpad(F.hex(w), 8, "0")
+    hhex = F.lpad(F.hex(h), 8, "0")
+    # IHDR data: w, h, bit depth 8, color type 6 (RGBA), 3×0x00.
+    ihdr_body = F.concat(F.lit("49484452"), whex, hhex, F.lit("0806000000"))
+    ihdr_crc = F.lpad(F.hex(F.crc32(F.unhex(ihdr_body))), 8, "0")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),      # signature
+        F.lit("0000000D"), ihdr_body, ihdr_crc,
+        F.lit("0000000049454E44AE426082"))  # IEND (fixed CRC)
+    # RIFF/WAVE: fmt (PCM, mono, 8000 Hz, byte rate 16000, 16-bit) +
+    # data of 8000 zero bytes -> 500 ms. Sizes little-endian.
+    wav_hex = F.lit(
+        "52494646" + "641F0000" + "57415645"
+        + "666D7420" + "10000000" + "0100" + "0100"
+        + "401F0000" + "803E0000" + "0200" + "1000"
+        + "64617461" + "401F0000" + "00" * 8000)
+    is_png = F.col("doc_id") % 2 == 0
+    return documents.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(is_png, F.lit("image")).otherwise(F.lit("audio"))
+         .alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.unhex(F.when(is_png, png_hex).otherwise(wav_hex)).alias("payload"))
+
+
 def synthetic_media(spark, documents: DataFrame, kind_cycle=("image", "audio",
                                                              "video")):
     """Derive a deterministic media table from the documents table (no

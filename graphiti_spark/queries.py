@@ -792,6 +792,43 @@ SELECT lang, count(*) AS n_docs FROM p GROUP BY lang
 SQL_LANG_ID_NGRAM = _sql_lang_id_ngram()
 
 
+def q_media_probe(spark, sf_dir):
+    """Multimodal metadata extraction, end-to-end and oracle-checked:
+    real container bytes are BUILT JVM-side from the documents table
+    (multimodal.synthetic_containers — PNG with per-doc dims + real
+    IHDR CRC via Spark's crc32, valid 500 ms WAV; hex → unhex, zero
+    Python) and parsed BACK by the distributed header probe
+    (multimodal.sniff_media, narrow Arrow mapInPandas). DuckDB can't
+    parse binaries, but the dims are closed-form in doc_id — the oracle
+    states them arithmetically, so a probe that misreads any byte
+    mismatches."""
+    from graphiti_spark.operators.multimodal import (
+        sniff_media, synthetic_containers)
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    out = sniff_media(synthetic_containers(d))
+    return out.select(
+        F.regexp_replace("media_id", "^m", "").cast("long").alias("doc_id"),
+        "kind", "mime_detected", "width", "height", "duration_ms",
+        "n_bytes")
+
+
+SQL_MEDIA_PROBE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+         AS mime_detected,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(16 + doc_id % 32 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(9 + doc_id % 7 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(500 AS INTEGER) END
+         AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(45 AS BIGINT)
+            ELSE CAST(8044 AS BIGINT) END AS n_bytes
+FROM documents WHERE doc_id < 500
+"""
+
+
 def q_cross_encoder_rerank(spark, sf_dir):
     """Q7 cross_encoder reranker stand-in (operators/search.py
     cross_encoder_rank): lexical-overlap score of each document vs a fixed
@@ -1883,6 +1920,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
+    "media_probe": q_media_probe,
     "cross_encoder_rerank": q_cross_encoder_rerank,
     "bm25_search": q_bm25_search,
     "composite_search": q_composite_search,
@@ -1931,6 +1969,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
+    "media_probe": SQL_MEDIA_PROBE,
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "bm25_search": SQL_BM25_SEARCH,
     "composite_search": SQL_COMPOSITE_SEARCH,

@@ -136,3 +136,20 @@ def test_sniff_media_distributed(spark):
         ("audio/wav", 500)
     assert out["x1"]["mime_detected"] is None
     assert out["n1"]["mime_detected"] is None and out["n1"]["n_bytes"] == 0
+
+
+def test_synthetic_containers_are_real_files(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    rows = {r["media_id"]: bytes(r["payload"])
+            for r in M.synthetic_containers(docs).collect()}
+    # the JVM-built bytes must parse with the pure-Python probe
+    assert M.probe_media(rows["m0"]) == ("image/png", 16, 9, None)
+    assert M.probe_media(rows["m2"]) == ("image/png", 18, 11, None)
+    assert M.probe_media(rows["m1"]) == ("audio/wav", None, None, 500)
+    # and the PNG IHDR CRC must be the real CRC32 (zlib agrees with JVM)
+    import struct
+    import zlib
+    png = rows["m4"]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    crc = struct.unpack(">I", png[29:33])[0]
+    assert crc == zlib.crc32(png[12:29])
