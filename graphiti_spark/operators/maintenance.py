@@ -62,6 +62,24 @@ def get_episodes_by_mentions(episodic_edges: DataFrame, episodes: DataFrame,
     return episodes.join(eps, "uuid", "left_semi")
 
 
+def get_nodes_and_edges_by_episode(episodic_edges: DataFrame,
+                                   entities: DataFrame, edges: DataFrame,
+                                   episode_uuids: list[str]
+                                   ) -> tuple[DataFrame, DataFrame]:
+    """``graphiti.py:965-977``: the (nodes, edges) bundle for a list of
+    episodes — entities mentioned by them plus the entity edges whose
+    provenance (``episodes`` array) references any of them. The uuid list
+    is a literal (API argument), so both filters are scan predicates —
+    array_contains ORs for the provenance, no explode/shuffle."""
+    nodes = get_mentioned_nodes(episodic_edges, entities, episode_uuids)
+    prov = None
+    for u in episode_uuids:
+        c = F.array_contains(F.col("episodes"), u)
+        prov = c if prov is None else (prov | c)
+    sel_edges = edges.where(prov if prov is not None else F.lit(False))
+    return nodes, sel_edges
+
+
 # -- S6 / S9: deletion + orphan GC ------------------------------------------
 
 def clear_groups(df: DataFrame, group_ids: list[str]) -> DataFrame:

@@ -155,3 +155,14 @@ def test_incremental_update_touched_groups_only(spark):
             .select("uuid", "source_node_uuid", "name",
                     "target_node_uuid").collect()}
     assert have == want
+
+
+def test_get_nodes_and_edges_by_episode(spark, tables):
+    episodes, entities, epi_edges, edges = tables
+    nodes, sel = MT.get_nodes_and_edges_by_episode(
+        epi_edges, entities, edges, ["ep2"])
+    assert {r["uuid"] for r in nodes.collect()} == {"alice"}
+    assert {r["uuid"] for r in sel.collect()} == {"e2"}
+    nodes2, sel2 = MT.get_nodes_and_edges_by_episode(
+        epi_edges, entities, edges, [])
+    assert nodes2.count() == 0 and sel2.count() == 0
