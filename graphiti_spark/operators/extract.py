@@ -72,9 +72,9 @@ def extract_all_udf(content: pd.Series, ts: pd.Series,
     for c, t, s in zip(content, ts, source):
         c = c or ""
         s = s or rules.SOURCE_MESSAGE
-        mentions.append(rules.extract_mentions(c, s))
         t_aware = None if pd.isna(t) else pd.Timestamp(t).tz_localize("UTC")
-        rows = rules.extract_triples(c, t_aware, s)
+        ms, rows = rules.extract_all(c, t_aware, s)
+        mentions.append(ms)
         triples.append([
             {**r, "valid_at": _naive_utc(r["valid_at"]),
              "invalid_at": _naive_utc(r["invalid_at"])}

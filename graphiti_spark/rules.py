@@ -77,6 +77,22 @@ _PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
      "CEO_OF", "pos", TYPE_PERSON, TYPE_ORG),
 ]
 
+# Literal verb-phrase anchor per built-in template (same order): a match
+# REQUIRES the literal, so `kw in sent` is a sound prefilter — a C-level
+# substring scan replaces a failed regex attempt for every non-matching
+# (pattern, sentence) pair. Custom-ontology patterns (arbitrary regexes)
+# skip the router.
+_KEYWORDS = [
+    " no longer works at ", " works at ", " likes ", " dislikes ",
+    " is friends with ", " founded ", " no longer lives in ",
+    " lives in ", " moved to ", " is the CEO of ",
+]
+assert len(_KEYWORDS) == len(_PATTERNS)
+
+# Chars the temporal-adjunct date may END with — a sentence whose last
+# char isn't one of these can't match _ADJUNCT (anchored at $).
+_ADJ_TAIL = frozenset("0123456789TZz:+.-")
+
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _WS = re.compile(r"\s+")
 _CTRL = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")  # _clean_input, llm_client/client.py:68-88
@@ -118,17 +134,27 @@ def _match_templates(sent: str, patterns=None):
     collection of (compiled, pred, mode, subj_type, obj_type) — a custom
     :class:`graphiti_spark.ontology.Ontology` supplies its own via
     ``ontology.patterns`` (E6)."""
-    if patterns is None:
+    builtin = patterns is None
+    if builtin:
         patterns = _PATTERNS
-    for pat, pred, mode, t_a, t_b in patterns:
+        # every template starts with a capitalized name — cheap reject
+        if not sent or not sent[0].isupper():
+            return None
+    for i, (pat, pred, mode, t_a, t_b) in enumerate(patterns):
+        if builtin and _KEYWORDS[i] not in sent:
+            continue
         m = pat.match(sent)
         if m:
             return m, pred, mode, t_a, t_b, None, None
+    if builtin and sent[-1] not in _ADJ_TAIL:
+        return None
     am = _ADJUNCT.match(sent)
     if am:
         dt = parse_iso_date(am.group("d"))
         core = am.group("core").strip()
-        for pat, pred, mode, t_a, t_b in patterns:
+        for i, (pat, pred, mode, t_a, t_b) in enumerate(patterns):
+            if builtin and _KEYWORDS[i] not in core:
+                continue
             m = pat.match(core)
             if m:
                 return m, pred, mode, t_a, t_b, am.group("kind"), dt
@@ -229,11 +255,12 @@ def parse_json_episode(content: str) -> tuple[str | None, list[tuple[str, str]]]
     return clean_text(subject), pairs
 
 
-def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
-                     ontology=None) -> list[dict]:
-    """content -> ordered distinct mentions [{name, entity_type_id}].
+def extract_all(content: str, ts: datetime | None,
+                source: str = SOURCE_MESSAGE,
+                ontology=None) -> tuple[list[dict], list[dict]]:
+    """content + episode ts -> (mentions, triples) in ONE pass.
 
-    Deterministic stand-in for ``extract_nodes``
+    Mentions: deterministic stand-in for ``extract_nodes``
     (``node_operations.py:69-175``), branched by episode source like the
     reference's extract_message/extract_text/extract_json prompts
     (``node_operations.py:110-126``): message = speaker first, then
@@ -241,15 +268,30 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
     contract); json = subject ('name' field) first, then capitalized
     field values. Empty names filtered; pronouns never matched.
 
+    Triples: deterministic stand-in for ``extract_edges``
+    (``edge_operations.py:110-244``) — dicts with keys
+    ``subj, pred, obj, fact, valid_at, invalid_at`` (datetimes tz-aware
+    UTC or None). Negation sentences emit ``invalid_at = ts`` with
+    ``valid_at = None`` (consumed by temporal versioning T1/T2);
+    self-pairs skipped (``edge_operations.py:73-74``); a parsed temporal
+    adjunct overrides the event-time default (E5,
+    ``edge_operations.py:211-225``). ``source='json'``: each capitalized
+    top-level field value yields ``(name, UPPER(key), value)``.
+
     ``ontology`` (E6, :class:`graphiti_spark.ontology.Ontology`) supplies
-    caller-registered templates and excluded entity types: a mention whose
-    resolved type is excluded is dropped at extraction time, mirroring
-    ``node_operations.py:157-160``.
+    caller templates and excluded entity types: an excluded-type mention
+    is dropped at extraction (``node_operations.py:157-160``), and a
+    triple with an excluded subject/object slot is dropped too — the
+    reference never extracts edges to nodes it refused to extract.
+
+    One sentence scan serves both outputs — the template matcher (the
+    extraction hot path) runs once per sentence, not once per consumer.
     """
     patterns = None if ontology is None else ontology.patterns
     excluded = (frozenset() if ontology is None
                 else ontology.excluded_entity_types)
     seen: dict[str, dict] = {}
+    triples: list[dict] = []
 
     def add(name: str, type_id: str) -> None:
         if type_id in excluded:
@@ -267,7 +309,16 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
             add(subject, TYPE_ENTITY)
         for _k, v in pairs:
             add(v, TYPE_ENTITY)
-        return list(seen.values())
+        if subject is not None:
+            for k, v in pairs:
+                if normalize_name(subject) == normalize_name(v):
+                    continue
+                triples.append({
+                    "subj": subject, "pred": _pred_from_key(k), "obj": v,
+                    "fact": f"{subject} {k}: {v}", "valid_at": ts,
+                    "invalid_at": None, "attributes": {"field": k},
+                })
+        return list(seen.values()), triples
 
     if source == SOURCE_TEXT:
         speaker, body = "", (content or "").strip()
@@ -277,63 +328,11 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
         add(speaker, TYPE_SPEAKER)
     for sent in sentences(body):
         hit = _match_templates(sent, patterns)
-        if hit:
-            m, _pred, _mode, t_a, t_b, _kind, _dt = hit
-            add(m.group("a"), t_a)
-            add(m.group("b"), t_b)
-    return list(seen.values())
-
-
-def extract_triples(content: str, ts: datetime | None,
-                    source: str = SOURCE_MESSAGE,
-                    ontology=None) -> list[dict]:
-    """content + episode ts -> fact triples.
-
-    Deterministic stand-in for ``extract_edges``
-    (``edge_operations.py:110-244``). Returns dicts with keys
-    ``subj, pred, obj, fact, valid_at, invalid_at`` (datetimes tz-aware UTC
-    or None). Negation sentences emit a row with ``invalid_at = ts`` and
-    ``valid_at = None`` — consumed by temporal versioning (T1/T2).
-    Self-pairs are skipped (``edge_operations.py:73-74``).
-
-    ``source='json'``: each capitalized top-level field value yields
-    ``(name, UPPER(key), value)`` with ``valid_at = ts`` and ``fact`` a
-    canonical "<subj> <key>: <value>" rendering. ``source='text'``: the
-    sentence templates run over the whole content (no speaker split).
-
-    ``ontology`` (E6): caller templates extend the matcher; a triple
-    whose subject or object slot type is excluded is dropped — the
-    reference never extracts edges to nodes it refused to extract
-    (excluded-type nodes are absent, so endpoint resolution would fail).
-    """
-    patterns = None if ontology is None else ontology.patterns
-    excluded = (frozenset() if ontology is None
-                else ontology.excluded_entity_types)
-    if source == SOURCE_JSON:
-        subject, pairs = parse_json_episode(content)
-        out: list[dict] = []
-        if subject is None:
-            return out
-        for k, v in pairs:
-            if normalize_name(subject) == normalize_name(v):
-                continue
-            out.append({
-                "subj": subject, "pred": _pred_from_key(k), "obj": v,
-                "fact": f"{subject} {k}: {v}", "valid_at": ts,
-                "invalid_at": None, "attributes": {"field": k},
-            })
-        return out
-
-    if source == SOURCE_TEXT:
-        body = (content or "").strip()
-    else:
-        _speaker, body = split_speaker(content)
-    out = []
-    for sent in sentences(body):
-        hit = _match_templates(sent, patterns)
         if hit is None:
             continue
         m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
+        add(m.group("a"), t_a)
+        add(m.group("b"), t_b)
         if t_a in excluded or t_b in excluded:
             continue
         subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
@@ -359,12 +358,26 @@ def extract_triples(content: str, ts: datetime | None,
             elif adj_kind == "until":
                 invalid_at = adj_dt
             attributes[adj_kind] = adj_dt.isoformat()
-        out.append({
+        triples.append({
             "subj": subj, "pred": pred, "obj": obj,
             "fact": sent, "valid_at": valid_at, "invalid_at": invalid_at,
             "attributes": attributes,
         })
-    return out
+    return list(seen.values()), triples
+
+
+def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
+                     ontology=None) -> list[dict]:
+    """Mentions half of :func:`extract_all` (kept for single-output
+    callers; the pipeline UDF uses extract_all directly)."""
+    return extract_all(content, None, source, ontology)[0]
+
+
+def extract_triples(content: str, ts: datetime | None,
+                    source: str = SOURCE_MESSAGE,
+                    ontology=None) -> list[dict]:
+    """Triples half of :func:`extract_all`."""
+    return extract_all(content, ts, source, ontology)[1]
 
 
 # ---------------------------------------------------------------------------
