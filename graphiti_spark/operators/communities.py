@@ -69,12 +69,16 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
         nbr = (nbr_votes.unionByName(self_votes)
                .groupBy("group_id", "src", "nbr_label")
                .agg(F.sum("w").alias("votes")))
-        w = (Window.partitionBy("src")
-             .orderBy(F.col("votes").desc(), F.col("nbr_label").desc()))
-        best = (nbr.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
+        # argmax by (votes, label) via struct-max: same pick order as the
+        # previous rank window (votes desc, label desc) but a hash
+        # aggregate with map-side partial combine instead of a per-round
+        # sort — at 2M nodes / 7.4M votes this is the difference between
+        # a sort and a combine in EVERY LPA round.
+        best = (nbr.groupBy("src")
+                .agg(F.max(F.struct(F.col("votes"), F.col("nbr_label")))
+                     .alias("_b"))
                 .select(F.col("src").alias("uuid"),
-                        F.col("nbr_label").alias("new_label")))
+                        F.col("_b.nbr_label").alias("new_label")))
         # Monotone adoption: take the plurality label only when it is
         # LARGER than the current one (extending the reference's
         # tie-toward-larger rule, community_operations.py:102-108, into the
@@ -83,18 +87,19 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
         # Jacobi-style LPA does on symmetric pulls, and a fixpoint is
         # guaranteed; the reference avoids this only by updating nodes
         # sequentially in-memory.
+        adopt = F.col("new_label") > F.col("community")
         new_labels = (labels.join(best, "uuid", "left")
                       .select("uuid", "group_id",
-                              F.when(F.col("new_label") > F.col("community"),
-                                     F.col("new_label"))
+                              F.when(adopt, F.col("new_label"))
                                .otherwise(F.col("community"))
-                               .alias("community"))
+                               .alias("community"),
+                              # convergence flag rides the same
+                              # materialization — no per-round join of
+                              # new-vs-old labels just to detect change
+                              F.coalesce(adopt, F.lit(False)).alias("_chg"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "uuid")
-                   .where(F.col("n.community") != F.col("o.community"))
-                   .limit(1).count())
-        labels = new_labels
+        changed = new_labels.where("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels
