@@ -154,22 +154,36 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
 
     episodes = stage("episodes",
                      lambda: ep.assemble_episodes(transcripts, run_ts))
-    # Two independent UDF passes over the cached episode content, each
-    # producing a FLAT exploded table. (A single combined pass was tried
-    # and reverted: materializing 'array<struct>' intermediates moved more
-    # bytes through cache+shuffle than the second Python scan costs, and
-    # Python compute parallelizes while cache bandwidth does not.)
-    # Single-consumer stages on the throughput path stay lazy (persisted
-    # but unmaterialized): one fewer barrier each; the cold-cache race
-    # only affects multi-consumer subtrees.
-    mentions = stage("mentions",
-                     lambda: extract.extract_mentions(episodes,
-                                                      ontology=ontology),
-                     barrier=False)
-    edges_raw = stage("edges_raw",
-                      lambda: extract.extract_edges(episodes, run_ts,
-                                                    ontology=ontology),
-                      barrier=False)
+    # ONE combined UDF pass over the episode content, flattened into the
+    # mentions and raw-edge tables. (History: round 2 measured the
+    # combined pass as a loss — the 'array<struct>' intermediate moved
+    # more bytes through cache than the second Python scan cost. The
+    # keyword-prefiltered single-scan matcher in rules.extract_all
+    # flipped that: at sf5/local[32] combined extracts in 6.1 s vs 9.2 s
+    # for two passes, identical outputs.) The combined stage is
+    # multi-consumer (both flattens read it) so it takes the adaptive
+    # materialization barrier; the flattened single-consumer stages stay
+    # lazy. Custom ontologies keep the two-pass path (their UDFs carry
+    # the ontology closure).
+    if ontology is None:
+        combined = stage("extract_combined",
+                         lambda: extract.extract_combined(episodes))
+        mentions = stage("mentions",
+                         lambda: extract.mentions_from_combined(combined),
+                         barrier=False)
+        edges_raw = stage("edges_raw",
+                          lambda: extract.edges_from_combined(combined,
+                                                              run_ts),
+                          barrier=False)
+    else:
+        mentions = stage("mentions",
+                         lambda: extract.extract_mentions(episodes,
+                                                          ontology=ontology),
+                         barrier=False)
+        edges_raw = stage("edges_raw",
+                          lambda: extract.extract_edges(episodes, run_ts,
+                                                        ontology=ontology),
+                          barrier=False)
 
     _canon: dict = {}
 
