@@ -43,13 +43,20 @@ episodes = ep.assemble_episodes(tr, RUN_TS).persist(StorageLevel.MEMORY_AND_DISK
 episodes.count()
 mark("episodes", t0)
 
+# Mirror the pipeline's combined path: ONE UDF pass, both tables
+# flattened from it (plans/pipeline.py extract_combined stage).
 t0 = time.time()
-mentions = extract.extract_mentions(episodes).persist(StorageLevel.MEMORY_AND_DISK)
+combined = extract.extract_combined(episodes).persist(StorageLevel.MEMORY_AND_DISK)
+combined.count()
+mark("extract_combined", t0)
+
+t0 = time.time()
+mentions = extract.mentions_from_combined(combined).persist(StorageLevel.MEMORY_AND_DISK)
 mentions.count()
 mark("mentions", t0)
 
 t0 = time.time()
-edges_raw = extract.extract_edges(episodes, RUN_TS).persist(StorageLevel.MEMORY_AND_DISK)
+edges_raw = extract.edges_from_combined(combined, RUN_TS).persist(StorageLevel.MEMORY_AND_DISK)
 edges_raw.count()
 mark("edges_raw", t0)
 
