@@ -69,11 +69,17 @@ class StreamingGraphWriter:
         spark = batch_df.sparkSession
         from graphiti_spark.plans.pipeline import build_graph
 
-        affected = batch_df.select("conv_id").distinct()
+        # A micro-batch's conversation list is bounded (maxFilesPerTrigger
+        # caps the batch), so collect it and filter with a LITERAL isin:
+        # conv_id is the store's partition column, so this prunes the
+        # existing-table scan to the touched partition dirs statically —
+        # a semi-join against the batch (the previous shape) listed and
+        # scanned every partition of the grown table on every batch.
+        convs = [r["conv_id"] for r in
+                 batch_df.select("conv_id").distinct().collect()]
         existing_tr = self._read_or_none(spark, "transcripts")
         if existing_tr is not None:
-            old_touched = existing_tr.join(F.broadcast(affected),
-                                           "conv_id", "left_semi")
+            old_touched = existing_tr.where(F.col("conv_id").isin(convs))
             touched = (old_touched.select(*batch_df.columns)
                        .unionByName(batch_df)
                        .dropDuplicates(["conv_id", "turn_idx"]))
