@@ -178,3 +178,18 @@ def rules_builtin_still_functional(spark, onto):
            for r in out.where(F.col("valid_at").isNotNull()).collect()}
     return got["acme"] == _ts(2).replace(tzinfo=None) \
         and got["globex"] is None
+
+
+def test_same_endpoints_noncontradicting_pred_not_invalidated(spark):
+    """Reference test_invalidate_edges_partial_update /
+    test_get_edge_contradictions_no_effect
+    (test_temporal_operations_int.py:227-264): a new edge between the SAME
+    endpoints whose predicate neither negates, flips sentiment, nor
+    re-binds a functional predicate must leave the existing edge open —
+    'Alice is friends with Bob' does not close 'Alice likes Bob'."""
+    got = _run(spark, [
+        ("alice", "LIKES", "bob", _ts(1), None, 0),
+        ("alice", "FRIENDS_WITH", "bob", _ts(2), None, 1),
+    ])
+    assert got[("alice", "LIKES", "bob")][1] is None
+    assert got[("alice", "FRIENDS_WITH", "bob")][1] is None
