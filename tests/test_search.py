@@ -366,3 +366,21 @@ def test_composite_search_degrades_without_embeddings(spark, graph_layers):
     # bm25-only now: e3's shorter fact outranks e1 on the tf tie (b=0.75
     # length norm); both alice edges hit, bob's does not
     assert {r["uuid"] for r in res.edges.collect()} == {"e1", "e3"}
+
+
+def test_bm25_arrays_and_explode_paths_agree(spark):
+    """bm25_lite_search routes short queries through the array-expression
+    plan and long ones through the explode plan — both must produce
+    identical (uuid, score) sets (same tf/df/N/avgdl arithmetic)."""
+    docs = spark.createDataFrame(
+        [(f"d{i}",
+          " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9)))
+         for i in range(60)], ["uuid", "text"])
+    base = docs.select(F.col("uuid").alias("_id"),
+                       S.tokens_col(F.col("text")).alias("_toks"))
+    q = ["w1", "w3", "w5", "w12"]
+    a = {(r["uuid"], round(r["score"], 9))
+         for r in S._bm25_arrays(base, q, 1.2, 0.75, 100).collect()}
+    b = {(r["uuid"], round(r["score"], 9))
+         for r in S._bm25_explode(base, q, 1.2, 0.75, 100).collect()}
+    assert a == b and len(a) > 10
