@@ -70,14 +70,16 @@ def get_nodes_and_edges_by_episode(episodic_edges: DataFrame,
     episodes — entities mentioned by them plus the entity edges whose
     provenance (``episodes`` array) references any of them. The uuid list
     is a literal (API argument), so both filters are scan predicates —
-    array_contains ORs for the provenance, no explode/shuffle."""
+    one flat arrays_overlap against an array literal for the provenance
+    (not an O(n)-deep OR chain: wide boolean trees cost Catalyst analysis
+    time per action), no explode/shuffle."""
     nodes = get_mentioned_nodes(episodic_edges, entities, episode_uuids)
-    prov = None
-    for u in episode_uuids:
-        c = F.array_contains(F.col("episodes"), u)
-        prov = c if prov is None else (prov | c)
-    sel_edges = edges.where(prov if prov is not None else F.lit(False))
-    return nodes, sel_edges
+    if episode_uuids:
+        prov = F.arrays_overlap(F.col("episodes"),
+                                F.lit([str(u) for u in episode_uuids]))
+    else:
+        prov = F.lit(False)
+    return nodes, edges.where(prov)
 
 
 # -- S6 / S9: deletion + orphan GC ------------------------------------------

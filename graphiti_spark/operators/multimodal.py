@@ -98,22 +98,41 @@ def probe_media(b: bytes) -> tuple[str | None, int | None, int | None,
                 abs(h), None)
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 < len(b) and b[i] == 0xFF:
-            marker, seglen = b[i + 1], int.from_bytes(b[i + 2:i + 4], "big")
-            if marker in _JPEG_SOF:
-                return ("image/jpeg",
-                        int.from_bytes(b[i + 7:i + 9], "big"),
-                        int.from_bytes(b[i + 5:i + 7], "big"), None)
-            if marker == 0xD9 or seglen < 2:       # EOI / corrupt
+        while i + 1 < len(b) and b[i] == 0xFF:
+            j = i + 1
+            while j < len(b) and b[j] == 0xFF:      # spec-legal fill bytes
+                j += 1
+            if j >= len(b):
                 break
-            i += 2 + seglen
+            marker = b[j]
+            # standalone markers (no length field): SOI, TEM, RST0-7
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i = j + 1
+                continue
+            if marker == 0xD9 or marker == 0xDA:    # EOI / SOS: dims are
+                break                               # always before SOS
+            if j + 3 > len(b):
+                break
+            seglen = int.from_bytes(b[j + 1:j + 3], "big")
+            if seglen < 2:                          # corrupt length
+                break
+            if marker in _JPEG_SOF:
+                if j + 8 <= len(b):
+                    return ("image/jpeg",
+                            int.from_bytes(b[j + 6:j + 8], "big"),
+                            int.from_bytes(b[j + 4:j + 6], "big"), None)
+                break
+            i = j + 1 + seglen
         return ("image/jpeg", None, None, None)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         byte_rate, data_size, i = None, None, 12
         while i + 8 <= len(b):
             cid = b[i:i + 4]
             clen = int.from_bytes(b[i + 4:i + 8], "little")
-            if cid == b"fmt " and i + 16 + 4 <= len(b):
+            # byte_rate lives at chunk offset 8; require the CHUNK to be
+            # long enough (clen), not just the buffer — a truncated fmt
+            # must not read the next chunk's bytes as a rate.
+            if cid == b"fmt " and clen >= 12 and i + 20 <= len(b):
                 byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
             elif cid == b"data":
                 data_size = clen

@@ -43,9 +43,14 @@ def tokens_col(col) -> F.Column:
 
     Single regex pass: split directly on the non-alnum delimiter class
     (after lower(), A-Z is gone) instead of regexp_replace-then-split —
-    the replace+split form was 2× the per-doc cost and tokenization
+    the replace+split form was 26× the per-doc cost and tokenization
     dominates fulltext search (62s of a 118s BM25 at 10⁶ docs). Token
-    stream is identical; empty edge tokens removed either way."""
+    streams agree on ASCII; they differ only on characters whose
+    LOWERCASE form introduces ASCII alnum (e.g. 'İ' → 'i̇', Kelvin 'K' →
+    'k'), where lower-then-split keeps the letter the old
+    delete-then-lower form dropped — the new behavior matches the
+    Python ``functions.text.tokenize`` twin and the DuckDB oracle
+    (both lower first), so the three tokenizers now agree."""
     return F.array_remove(F.split(F.lower(col), "[^a-z0-9]+"), "")
 
 

@@ -745,7 +745,9 @@ def q_lang_id_ngram(spark, sf_dir):
     from graphiti_spark.functions.text import TRIGRAM_PROFILES
 
     d = load(spark, sf_dir, "documents")
-    t = F.lower(F.col("text"))
+    # coalesce('') so NULL text lands in 'und' like the Python twin
+    # (NULL scores would null the whole CASE chain)
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
     langs = sorted(TRIGRAM_PROFILES)
     scores = {}
     for lang in langs:
@@ -780,7 +782,7 @@ def _sql_lang_id_ngram() -> str:
     return f"""
 WITH s AS (
   SELECT {scores}
-  FROM (SELECT lower(text) AS t FROM documents)
+  FROM (SELECT lower(coalesce(text, '')) AS t FROM documents)
 ), p AS (
   SELECT CASE WHEN mx = 0 THEN 'und' {case} END AS lang
   FROM (SELECT *, {mx} AS mx FROM s)

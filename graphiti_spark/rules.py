@@ -77,17 +77,21 @@ _PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
      "CEO_OF", "pos", TYPE_PERSON, TYPE_ORG),
 ]
 
-# Literal verb-phrase anchor per built-in template (same order): a match
-# REQUIRES the literal, so `kw in sent` is a sound prefilter — a C-level
-# substring scan replaces a failed regex attempt for every non-matching
-# (pattern, sentence) pair. Custom-ontology patterns (arbitrary regexes)
-# skip the router.
-_KEYWORDS = [
-    " no longer works at ", " works at ", " likes ", " dislikes ",
-    " is friends with ", " founded ", " no longer lives in ",
-    " lives in ", " moved to ", " is the CEO of ",
-]
-assert len(_KEYWORDS) == len(_PATTERNS)
+# Literal verb-phrase anchor per built-in template: a match REQUIRES the
+# literal, so `kw in sent` is a sound prefilter — a C-level substring
+# scan replaces a failed regex attempt for every non-matching
+# (pattern, sentence) pair. DERIVED from each pattern's own source (the
+# literal between the <a> and <b> groups) so it can never misalign with
+# _PATTERNS; a pattern the extractor can't parse gets "" (always-true →
+# prefilter no-op, still sound). Custom-ontology patterns (arbitrary
+# regexes) skip the router.
+def _kw_of(pat: re.Pattern[str]) -> str:
+    m = re.search(r"\)\s(.+?)\s\(\?P<b>", pat.pattern)
+    return f" {m.group(1)} " if m else ""
+
+
+_KEYWORDS = [_kw_of(p) for p, *_ in _PATTERNS]
+assert all(" " in k for k in _KEYWORDS)   # every builtin has a literal
 
 # Chars the temporal-adjunct date may END with — a sentence whose last
 # char isn't one of these can't match _ADJUNCT (anchored at $).
@@ -257,7 +261,8 @@ def parse_json_episode(content: str) -> tuple[str | None, list[tuple[str, str]]]
 
 def extract_all(content: str, ts: datetime | None,
                 source: str = SOURCE_MESSAGE,
-                ontology=None) -> tuple[list[dict], list[dict]]:
+                ontology=None, want_mentions: bool = True,
+                want_triples: bool = True) -> tuple[list[dict], list[dict]]:
     """content + episode ts -> (mentions, triples) in ONE pass.
 
     Mentions: deterministic stand-in for ``extract_nodes``
@@ -286,6 +291,10 @@ def extract_all(content: str, ts: datetime | None,
 
     One sentence scan serves both outputs — the template matcher (the
     extraction hot path) runs once per sentence, not once per consumer.
+    ``want_mentions``/``want_triples`` let single-output callers (the
+    thin wrappers below, used on the custom-ontology two-pass path) skip
+    BUILDING the unused half; the matcher work is shared either way, and
+    the flags never change what the wanted half contains.
     """
     patterns = None if ontology is None else ontology.patterns
     excluded = (frozenset() if ontology is None
@@ -294,7 +303,7 @@ def extract_all(content: str, ts: datetime | None,
     triples: list[dict] = []
 
     def add(name: str, type_id: str) -> None:
-        if type_id in excluded:
+        if not want_mentions or type_id in excluded:
             return
         name = clean_text(name)
         if not name:
@@ -309,7 +318,7 @@ def extract_all(content: str, ts: datetime | None,
             add(subject, TYPE_ENTITY)
         for _k, v in pairs:
             add(v, TYPE_ENTITY)
-        if subject is not None:
+        if want_triples and subject is not None:
             for k, v in pairs:
                 if normalize_name(subject) == normalize_name(v):
                     continue
@@ -333,7 +342,7 @@ def extract_all(content: str, ts: datetime | None,
         m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
         add(m.group("a"), t_a)
         add(m.group("b"), t_b)
-        if t_a in excluded or t_b in excluded:
+        if not want_triples or t_a in excluded or t_b in excluded:
             continue
         subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
         if not subj or not obj or normalize_name(subj) == normalize_name(obj):
@@ -370,14 +379,16 @@ def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
                      ontology=None) -> list[dict]:
     """Mentions half of :func:`extract_all` (kept for single-output
     callers; the pipeline UDF uses extract_all directly)."""
-    return extract_all(content, None, source, ontology)[0]
+    return extract_all(content, None, source, ontology,
+                       want_triples=False)[0]
 
 
 def extract_triples(content: str, ts: datetime | None,
                     source: str = SOURCE_MESSAGE,
                     ontology=None) -> list[dict]:
     """Triples half of :func:`extract_all`."""
-    return extract_all(content, ts, source, ontology)[1]
+    return extract_all(content, ts, source, ontology,
+                       want_mentions=False)[1]
 
 
 # ---------------------------------------------------------------------------

@@ -153,3 +153,25 @@ def test_synthetic_containers_are_real_files(spark):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     crc = struct.unpack(">I", png[29:33])[0]
     assert crc == zlib.crc32(png[12:29])
+
+
+def test_probe_media_jpeg_fill_bytes_and_truncated_wav():
+    """Review findings: (a) spec-legal 0xFF fill bytes between JPEG
+    segments must not desync the marker walk; (b) a WAV whose fmt chunk
+    is shorter than the byte-rate field must yield no duration, not one
+    read from the next chunk's bytes."""
+    import struct
+    # JPEG with fill bytes before APP0 and before SOF0
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, 240, 320, 1) + b"\x01\x11\x00"
+    jpg = (b"\xff\xd8" + b"\xff\xff\xff\xe0"
+           + struct.pack(">H", len(app0) + 2) + app0
+           + b"\xff\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0)
+    assert M.probe_media(jpg) == ("image/jpeg", 320, 240, None)
+    # truncated fmt chunk (clen=4) followed by a data chunk whose header
+    # bytes must NOT be read as a byte rate
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+            + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M.probe_media(wav) == ("audio/wav", None, None, None)
