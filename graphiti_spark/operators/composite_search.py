@@ -96,12 +96,19 @@ def _one_layer(kind: str, df: DataFrame | None, layer: LayerConfig | None,
     # A layer whose table doesn't carry the embedding column (e.g. a
     # pipeline built with with_embeddings=False) degrades to its lexical
     # methods instead of failing the whole composite call.
+    reranker = layer.reranker
     if emb_col not in (df.columns if emb_col else []):
         methods = [m for m in methods if m != "cosine"]
         emb_col = text_col  # unused placeholder; mmr would need embeddings
+        if reranker == "mmr":
+            # MMR needs real embeddings; joining the text column as the
+            # embedding would crash np.asarray deep inside the reranker.
+            # Degrade the same way the cosine method does: fall back to
+            # score-order fusion (rrf), keeping the composite call alive.
+            reranker = "rrf"
     if not methods:
         return None
-    cfg = SearchConfig(methods=methods, reranker=layer.reranker,
+    cfg = SearchConfig(methods=methods, reranker=reranker,
                        limit=limit, min_score=layer.sim_min_score,
                        bfs_depth=layer.bfs_max_depth,
                        mmr_lambda=layer.mmr_lambda,

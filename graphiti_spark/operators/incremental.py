@@ -178,13 +178,18 @@ def incremental_update_entity(spark: SparkSession,
 
     # J3 resolve: batch canonical → existing canonical (or itself).
     resolved = resolve_against_graph(canonical_b, existing_entities)
+    # full_map feeds three consumers (edge pointer remap, batch_members,
+    # affected_ent) — checkpoint it so the downstream plans don't carry
+    # the whole extraction+resolve lineage three times (the plan TREE
+    # itself becomes the memory hazard at depth, not the data).
     full_map = (umap_b
                 .join(resolved.select(F.col("uuid").alias("canonical_uuid"),
                                       "resolved_uuid"),
                       "canonical_uuid", "left")
                 .select("uuid",
                         F.coalesce("resolved_uuid", "canonical_uuid")
-                        .alias("canonical_uuid")))
+                        .alias("canonical_uuid"))
+                .localCheckpoint(eager=False))
 
     # New raw edges, endpoints mapped through batch-canonical + graph
     # resolution in one pass.
@@ -240,10 +245,16 @@ def incremental_update_entity(spark: SparkSession,
                  .drop("_new_members"))
 
     # Summaries/attributes recompute ONLY for entities incident to the
-    # recomputed slice (new facts or changed first-payloads live there).
+    # recomputed slice (new facts or changed first-payloads live there)
+    # PLUS every canonical the batch touched at all (full_map's targets):
+    # a mention-only new entity has no incident edge but must still land
+    # in the merged/delta output, and an existing entity that gained
+    # member_uuids from an edge-less alias must reach the delta writer.
     affected_ent = (recomputed.select(F.col("source_node_uuid").alias("uuid"))
                     .unionByName(recomputed.select(
                         F.col("target_node_uuid").alias("uuid")))
+                    .unionByName(full_map.select(
+                        F.col("canonical_uuid").alias("uuid")))
                     .distinct())
     base_cols = ["uuid", "name", "group_id", "labels", "created_at",
                  "name_norm", "first_turn", "member_uuids"]

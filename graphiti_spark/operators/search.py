@@ -360,6 +360,10 @@ def mmr_rerank(candidates: DataFrame, emb_col: str, query_vec: list[float],
     if rows.empty:
         return candidates.sparkSession.createDataFrame(
             [], "uuid string, score double")
+    # np.argmax tie-breaks on row order; sort by uuid so MMR-score ties
+    # select the same candidate regardless of partitioning / scan order
+    # (hash-stable results, like every other operator here).
+    rows = rows.sort_values("uuid", ignore_index=True)
     embs = np.array([np.asarray(v, dtype=np.float64) for v in rows[emb_col]])
     selected, scores = _mmr_greedy(embs, query_vec, mmr_lambda, limit)
     out = pd.DataFrame({
@@ -396,6 +400,9 @@ def mmr_rerank_grouped(candidates: DataFrame, queries: DataFrame,
         if pdf.empty:
             return pd.DataFrame(
                 {"query_id": [], "uuid": [], "score": [], "rn": []})
+        # Arrow batch row order is partitioning-dependent; sort by uuid so
+        # np.argmax tie-breaks deterministically across runs.
+        pdf = pdf.sort_values("uuid", ignore_index=True)
         embs = np.array([np.asarray(v, dtype=np.float64)
                          for v in pdf[emb_col]])
         qv = np.asarray(pdf["_qv"].iloc[0], dtype=np.float64)

@@ -84,6 +84,10 @@ def get_spark(app: str = "graphiti_spark", cores: int | None = None,
         # 16g measured materially faster than 64g here (GC/page-fault cost
         # of a huge single-JVM heap); caches that overflow go to tmpfs.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Deep iterative plans (incremental micro-batches, LPA rounds) can
+        # make the EXPLAIN string itself gigabytes — cap it so plan
+        # printing for the UI/listeners can never OOM the driver.
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.driver.maxResultSize", "8g")
         # Shuffle/spill on tmpfs: the sandbox's single virtio disk caps all
         # parallelism levels at the same MB/s, hiding CPU scaling. A real

@@ -168,6 +168,69 @@ def test_delta_only_matches_merge(spark):
     assert {r["group_id"] for r in d_ents.collect()} == {"c1", "c2"}
 
 
+def test_mention_only_new_entity_survives(spark):
+    """A brand-new entity with NO incident edge (self-pair sentence, a
+    named speaker on a template-less turn) must still appear in the
+    merged entities — regression for affected_ent being derived solely
+    from recomputed edge endpoints."""
+    base = _turns(spark, BASE)
+    new = spark.createDataFrame([
+        # self-pair: mention 'Paris' extracted, triple dropped
+        ("c1", 2, "user", "Paris lives in Paris.", None,
+         datetime(2024, 1, 1, 2)),
+        # named speaker (episode content is "role: text"), template-less
+        # body → mention-only 'Eve'
+        ("c4", 0, "Eve", "The weather is nice today.", None,
+         datetime(2024, 1, 1, 0)),
+    ], SCHEMA)
+    g0 = build_graph(spark, base, run_ts=RUN_TS)
+    _, ents, edges = incremental_update_entity(
+        spark, new, base, g0.entities, g0.edges, RUN_TS)
+
+    full = build_graph(spark, base.unionByName(new), run_ts=RUN_TS)
+    want = {r["uuid"]: (r["name"], r["summary"],
+                        tuple(r["member_uuids"] or []))
+            for r in full.entities.collect()}
+    got = {r["uuid"]: (r["name"], r["summary"],
+                       tuple(r["member_uuids"] or []))
+           for r in ents.collect()}
+    assert got == want
+    assert "Eve" in {v[0] for v in got.values()}
+    assert _edge_key(edges) == _edge_key(full.edges)
+
+
+def test_delta_includes_edgeless_member_update(spark):
+    """An existing entity that gains member_uuids from an alias resolved
+    by a mention-only turn (no new edge) must reach the delta writer —
+    an Iceberg MERGE driven by the delta would otherwise lose the
+    member-list update."""
+    base = _turns(spark, [("c1", 0, "Bob Jones works at Globex.", 0)])
+    g0 = build_graph(spark, base, run_ts=RUN_TS)
+    bob = g0.entities.where("name_norm='bob jones'").collect()[0]
+    # speaker alias in the ROLE slot (content is "role: text"); the body
+    # matches no template, so this turn yields a mention and no edge
+    new = spark.createDataFrame(
+        [("c1", 1, "Bob", "It is a nice day.", None,
+          datetime(2024, 1, 1, 1))], SCHEMA)
+
+    _, d_ents, d_edges = incremental_update_entity(
+        spark, new, base, g0.entities, g0.edges, RUN_TS, delta_only=True)
+    assert d_edges.count() == 0
+    delta_bob = d_ents.where(F.col("uuid") == bob["uuid"]).collect()
+    assert len(delta_bob) == 1
+    assert len(delta_bob[0]["member_uuids"]) > len(bob["member_uuids"] or
+                                                   [bob["uuid"]]) - 1
+    # and the merged path agrees with a full rebuild on the member list
+    _, m_ents, _ = incremental_update_entity(
+        spark, new, base, g0.entities, g0.edges, RUN_TS)
+    full = build_graph(spark, base.unionByName(new), run_ts=RUN_TS)
+    want = {r["uuid"]: tuple(r["member_uuids"] or [])
+            for r in full.entities.collect()}
+    got = {r["uuid"]: tuple(r["member_uuids"] or [])
+           for r in m_ents.collect()}
+    assert got == want
+
+
 def test_stored_edges_roundtrip_through_merge(spark):
     """stored→raw→dedupe is idempotent: re-merging an untouched slice
     reproduces it (same uuid, payload, episodes, timestamps)."""
