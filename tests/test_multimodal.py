@@ -175,3 +175,133 @@ def test_probe_media_jpeg_fill_bytes_and_truncated_wav():
             + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     assert M.probe_media(wav) == ("audio/wav", None, None, None)
+
+
+# --- REAL pixel/sample decode (decode_png / decode_wav / decode_stats) --
+
+
+def test_decode_png_round_trip_all_filters_and_channels():
+    rng = np.random.RandomState(7)
+    for shape in [(9, 16), (5, 3, 2), (6, 4, 3), (7, 2, 4)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        b = M.encode_png(px, filters=[0, 1, 2, 3, 4])
+        got = M.decode_png(b)
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want), shape
+        # header probe agrees with the decoded geometry
+        mime, w, h, _ = M.probe_media(b)
+        assert (mime, w, h) == ("image/png", shape[1], shape[0])
+
+
+def test_decode_png_hand_built_vector():
+    """Filter inversion against hand-computed bytes (not the encoder
+    twin, so a symmetric encode/decode bug cannot hide): 2x2 grayscale
+    [[1,2],[3,4]]; row0 Sub -> [1,1], row1 Up -> [2,2]."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+    raw = bytes([1, 1, 1]) + bytes([2, 2, 2])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    b = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert M.decode_png(b).reshape(2, 2).tolist() == [[1, 2], [3, 4]]
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+    with pytest.raises(ValueError):
+        M.decode_png(b"nope")
+    # 16-bit depth is outside the stdlib subset
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    b16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        M.decode_png(b16)
+    # probe-only container (no IDAT) decodes to an honest error
+    ihdr8 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    b_no_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr8)
+                 + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
+        M.decode_png(b_no_idat)
+
+
+def test_decode_wav_pcm16():
+    got, rate = M.decode_wav(_wav())
+    assert rate == 8000 and got.shape == (4000, 1) and not got.any()
+    s = np.array([M.px_audio_sample(3, i) for i in range(M.PX_WAV_N)],
+                 dtype="<i2")
+    import struct
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    got, rate = M.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 44100 and np.array_equal(got.ravel(), s)
+    # float WAV (fmt 3) is honestly not decodable here
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body3 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(body3)) + body3)
+
+
+def test_decode_stats_matches_closed_form(spark):
+    """The distributed decode of synthetic_containers_px must land on the
+    closed-form pixel/sample statistics that DEFINED the content (the
+    same formulas the DuckDB oracle states)."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    out = {r["media_id"]: r
+           for r in M.decode_stats(
+               M.synthetic_containers_px(docs)).collect()}
+    for d in range(0, 8, 2):
+        w, h = 16 + d % 32, 9 + d % 7
+        vals = [M.px_image_value(d, y) for y in range(h)]
+        r = out[f"m{d}"]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["px_sum"] == w * sum(vals)
+        assert r["px_min"] == min(vals) and r["px_max"] == max(vals)
+        assert r["decoded"]
+    for d in range(1, 8, 2):
+        s = [M.px_audio_sample(d, i) for i in range(M.PX_WAV_N)]
+        r = out[f"m{d}"]
+        assert (r["n_samples"], r["sample_rate"]) == (M.PX_WAV_N,
+                                                      M.PX_WAV_RATE)
+        assert r["sample_sum"] == sum(s)
+        assert r["sample_sumsq"] == sum(x * x for x in s)
+        assert r["decoded"]
+
+
+def test_decode_stats_flags_undecodable(spark):
+    """Probe-only PNGs (no IDAT) and non-containers come back
+    decoded=false with null stats — never a fake."""
+    docs = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    probe_only = M.synthetic_containers(docs)   # JVM PNGs carry no IDAT
+    out = {r["media_id"]: r for r in M.decode_stats(probe_only).collect()}
+    for d in (0, 2):
+        assert not out[f"m{d}"]["decoded"]
+        assert out[f"m{d}"]["px_sum"] is None
+    for d in (1, 3):                            # the WAVs are real PCM16
+        assert out[f"m{d}"]["decoded"]
+        assert out[f"m{d}"]["sample_sum"] == 0
+
+
+def test_extract_features_uses_real_decode(spark):
+    """For a constant-valued PNG the pixel histogram must be a one-hot
+    on the pixel value's bin — it can only come from real decode (the
+    byte-histogram fake sees zlib noise, not pixels)."""
+    px = np.full((5, 8), 200, dtype=np.uint8)
+    rows = [("c1", "image", None, None, None, None,
+             bytearray(M.encode_png(px)))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feat = M.extract_features(media).collect()[0]["feature"]
+    bin_idx = 200 * M.FEATURE_DIM // 256
+    assert feat[bin_idx] == pytest.approx(1.0)
+    assert sum(abs(v) for i, v in enumerate(feat) if i != bin_idx) == 0
