@@ -43,13 +43,39 @@ def neighbor_projection(edges: DataFrame) -> DataFrame:
 
 
 def label_propagation(entities: DataFrame, edges: DataFrame,
-                      max_rounds: int = MAX_COMMUNITY_ROUNDS) -> DataFrame:
+                      max_rounds: int = MAX_COMMUNITY_ROUNDS,
+                      mode: str = "monotone") -> DataFrame:
     """→ (uuid, group_id, community) with community = a stable label id.
 
-    Initial label = own uuid; each round a node takes the neighbor label
-    with max (Σ edge_count, label) — plurality with larger-label tie-break
-    (``community_operations.py:102-108``); isolated nodes keep their own
-    label. Driver loop with localCheckpoint per round (lineage cut)."""
+    Initial label = own uuid; each round a node adopts a neighbor
+    plurality label (Σ edge_count weighting, struct-max argmax = larger
+    label on vote ties, ``community_operations.py:102-108``); isolated
+    nodes keep their own label. Driver loop with localCheckpoint per
+    round (lineage cut).
+
+    ``mode`` picks the update rule:
+
+    * ``"monotone"`` (default, the scale mode): self-vote of weight 1 is
+      added and a node adopts the plurality label only when LARGER than
+      its current one. Labels are non-decreasing per node → the
+      synchronous parallel update provably cannot oscillate (naive
+      Jacobi LPA does on symmetric pulls) and a fixpoint is guaranteed;
+      the partition can differ from the reference's on some graphs.
+    * ``"reference"``: the exact update of
+      ``community_operations.py:77-122`` — no self-vote; a node takes
+      the plurality candidate when its vote weight exceeds 1, otherwise
+      ``max(candidate, current)``; synchronous rounds to fixpoint. The
+      reference's integer labels come from dict-enumeration order; using
+      each node's uuid as its own label is the order-isomorphic
+      deterministic instantiation (labels are only compared/counted, so
+      the emitted PARTITION matches a port that enumerates sorted
+      uuids). The reference's ``while True`` can in principle oscillate
+      forever on adversarial symmetric graphs; this version stops at
+      ``max_rounds`` (tested to fixpoint on seeded random graphs against
+      a pure-Python port, tests/test_communities.py).
+    """
+    if mode not in ("monotone", "reference"):
+        raise ValueError(f"unknown LPA mode {mode!r}")
     proj = neighbor_projection(edges).localCheckpoint(eager=True)
     labels = (entities.select("uuid", "group_id")
               .withColumn("community", F.col("uuid"))
@@ -60,13 +86,16 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
                           F.col("community").alias("nbr_label")), "dst")
             .select("group_id", "src", "nbr_label",
                     F.col("edge_count").alias("w")))
-        # Self-vote (weight 1): stabilizes synchronous updates — without it
-        # a symmetric pair oscillates a↔b forever (the reference updates
-        # nodes sequentially in-memory, which converges implicitly).
-        self_votes = labels.select(
-            "group_id", F.col("uuid").alias("src"),
-            F.col("community").alias("nbr_label"), F.lit(1).alias("w"))
-        nbr = (nbr_votes.unionByName(self_votes)
+        if mode == "monotone":
+            # Self-vote (weight 1): stabilizes synchronous updates —
+            # without it a symmetric pair oscillates a↔b forever (the
+            # reference updates nodes sequentially in-memory, which
+            # converges implicitly).
+            self_votes = labels.select(
+                "group_id", F.col("uuid").alias("src"),
+                F.col("community").alias("nbr_label"), F.lit(1).alias("w"))
+            nbr_votes = nbr_votes.unionByName(self_votes)
+        nbr = (nbr_votes
                .groupBy("group_id", "src", "nbr_label")
                .agg(F.sum("w").alias("votes")))
         # argmax by (votes, label) via struct-max: same pick order as the
@@ -78,25 +107,30 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
                 .agg(F.max(F.struct(F.col("votes"), F.col("nbr_label")))
                      .alias("_b"))
                 .select(F.col("src").alias("uuid"),
-                        F.col("_b.nbr_label").alias("new_label")))
-        # Monotone adoption: take the plurality label only when it is
-        # LARGER than the current one (extending the reference's
-        # tie-toward-larger rule, community_operations.py:102-108, into the
-        # update itself). Labels are then non-decreasing per node, so the
-        # synchronous parallel update cannot oscillate the way naive
-        # Jacobi-style LPA does on symmetric pulls, and a fixpoint is
-        # guaranteed; the reference avoids this only by updating nodes
-        # sequentially in-memory.
-        adopt = F.col("new_label") > F.col("community")
+                        F.col("_b.nbr_label").alias("new_label"),
+                        F.col("_b.votes").alias("new_votes")))
+        if mode == "monotone":
+            # Monotone adoption: take the plurality label only when it is
+            # LARGER than the current one (extending the reference's
+            # tie-toward-larger rule into the update itself).
+            picked = F.when(F.col("new_label") > F.col("community"),
+                            F.col("new_label")).otherwise(F.col("community"))
+        else:
+            # Reference rule (community_operations.py:96-105): plurality
+            # candidate wins outright when its weight > 1; a weight-1
+            # candidate only wins if larger than the current label;
+            # no candidates (isolated node, candidate = -1) keeps current.
+            picked = (F.when(F.col("new_label").isNull(),
+                             F.col("community"))
+                      .when(F.col("new_votes") > 1, F.col("new_label"))
+                      .otherwise(F.greatest("new_label", "community")))
         new_labels = (labels.join(best, "uuid", "left")
                       .select("uuid", "group_id",
-                              F.when(adopt, F.col("new_label"))
-                               .otherwise(F.col("community"))
-                               .alias("community"),
+                              picked.alias("community"),
                               # convergence flag rides the same
                               # materialization — no per-round join of
                               # new-vs-old labels just to detect change
-                              F.coalesce(adopt, F.lit(False)).alias("_chg"))
+                              (picked != F.col("community")).alias("_chg"))
                       .localCheckpoint(eager=True))
         changed = new_labels.where("_chg").limit(1).count()
         labels = new_labels.drop("_chg")

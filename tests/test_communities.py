@@ -139,3 +139,97 @@ def test_label_propagation_deterministic(spark):
     l2 = sorted(map(tuple, C.label_propagation(
         ents.repartition(7), edges.repartition(5)).collect()))
     assert l1 == l2
+
+
+# --- reference-semantics LPA mode vs a pure-Python port -----------------
+
+
+def _lpa_reference_port(nodes, edge_rows, max_rounds=50):
+    """Direct port of community_operations.py:77-122 with uuids as their
+    own labels (order-isomorphic to the reference's dict-enumeration
+    integers; labels are only compared/counted, so the PARTITION is the
+    same): synchronous rounds; plurality weighted by edge multiplicity;
+    a weight>1 plurality wins outright, otherwise max(candidate, cur);
+    tie on weight -> larger label."""
+    from collections import defaultdict
+    proj = defaultdict(lambda: defaultdict(int))
+    for s, d in edge_rows:
+        if s != d:
+            proj[s][d] += 1
+            proj[d][s] += 1
+    community = {u: u for u in nodes}
+    for _ in range(max_rounds):
+        new, change = {}, False
+        for u in nodes:
+            cand = defaultdict(int)
+            for v, w in proj[u].items():
+                cand[community[v]] += w
+            lst = sorted(((c, l) for l, c in cand.items()), reverse=True)
+            if lst and lst[0][0] > 1:
+                newl = lst[0][1]
+            elif lst:
+                newl = max(lst[0][1], community[u])
+            else:
+                newl = community[u]
+            new[u] = newl
+            change |= newl != community[u]
+        community = new
+        if not change:
+            break
+    return community
+
+
+def _partition(by):
+    from collections import defaultdict
+    groups = defaultdict(set)
+    for u, c in by.items():
+        groups[c].add(u)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_reference_mode_matches_python_port(spark, seed):
+    import random
+    rng = random.Random(seed)
+    nodes = [f"u{i:03d}" for i in range(40)]
+    # two planted blocks + sprinkled cross edges + duplicate edges
+    # (multiplicity weights) + a couple of isolated nodes
+    edge_rows = []
+    for _ in range(90):
+        blk = rng.choice([nodes[:18], nodes[18:36]])
+        s, d = rng.sample(blk, 2)
+        edge_rows.append((s, d))
+    for _ in range(8):
+        edge_rows.append((rng.choice(nodes[:18]),
+                          rng.choice(nodes[18:36])))
+    for _ in range(20):
+        edge_rows.append(rng.choice(edge_rows))   # multiplicity
+    ents, edges = _graph(spark, edge_rows, nodes)
+    # reference mode lacks the monotone invariant, so convergence can
+    # take more rounds than the scale default (seed 47 needs 26)
+    got = {r["uuid"]: r["community"]
+           for r in C.label_propagation(ents, edges, max_rounds=60,
+                                        mode="reference").collect()}
+    want = _lpa_reference_port(nodes, edge_rows, max_rounds=60)
+    assert got == want                       # labels, not just partition
+    assert _partition(got) == _partition(want)
+
+
+def test_reference_mode_weight1_rule(spark):
+    """A weight-1 plurality only wins if LARGER than the current label:
+    chain a-b with one edge -> both end at max('a','b') = 'b'; with a
+    doubled edge the plurality (weight 2) wins outright both ways and
+    the pair still merges."""
+    ents, edges = _graph(spark, [("a", "b")], ["a", "b"])
+    by = {r["uuid"]: r["community"]
+          for r in C.label_propagation(ents, edges,
+                                       mode="reference").collect()}
+    assert by == {"a": "b", "b": "b"}
+    port = _lpa_reference_port(["a", "b"], [("a", "b")])
+    assert by == port
+
+
+def test_lpa_mode_validation(spark):
+    ents, edges = _graph(spark, [("a", "b")], ["a", "b"])
+    with pytest.raises(ValueError, match="mode"):
+        C.label_propagation(ents, edges, mode="jacobi")
