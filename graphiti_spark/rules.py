@@ -75,6 +75,28 @@ _PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
      "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
     (re.compile(rf"^(?P<a>{_NAME}) is the CEO of (?P<b>{_NAME})$"),
      "CEO_OF", "pos", TYPE_PERSON, TYPE_ORG),
+    # -- breadth families (round-4 held-out P/R probe, scripts/
+    # exp_templates.py): passive voice (group NAMES carry the roles, so
+    # a surface-order swap needs no special handling downstream),
+    # employer-subject actives, and locative synonyms. Negations stay
+    # ahead of positives within each family.
+    (re.compile(rf"^(?P<a>{_NAME}) is no longer employed by (?P<b>{_NAME})$"),
+     "WORKS_AT", "neg", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) is employed by (?P<b>{_NAME})$"),
+     "WORKS_AT", "pos", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) is employed at (?P<b>{_NAME})$"),
+     "WORKS_AT", "pos", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<b>{_NAME}) employs (?P<a>{_NAME})$"),
+     "WORKS_AT", "pos", TYPE_PERSON, TYPE_ORG),
+    (re.compile(
+        rf"^(?P<b>{_NAME}) was founded by (?P<a>{_NAME}) in (?P<y>\d{{4}})$"),
+     "FOUNDED", "year", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) resides in (?P<b>{_NAME})$"),
+     "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
+    (re.compile(rf"^(?P<a>{_NAME}) is based in (?P<b>{_NAME})$"),
+     "LIVES_IN", "pos", TYPE_ORG, TYPE_PLACE),
+    (re.compile(rf"^(?P<a>{_NAME}) relocated to (?P<b>{_NAME})$"),
+     "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
 ]
 
 # Literal verb-phrase anchor per built-in template: a match REQUIRES the
@@ -86,8 +108,12 @@ _PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
 # prefilter no-op, still sound). Custom-ontology patterns (arbitrary
 # regexes) skip the router.
 def _kw_of(pat: re.Pattern[str]) -> str:
-    m = re.search(r"\)\s(.+?)\s\(\?P<b>", pat.pattern)
-    return f" {m.group(1)} " if m else ""
+    # first inter-group literal, whichever role group comes first
+    # (passive templates put <b> before <a>)
+    m = re.search(r"\)\s(.+?)\s\(\?P<[ab]>", pat.pattern)
+    if not m or re.search(r"[\\()\[\]|?*+]", m.group(1)):
+        return ""                       # non-literal → prefilter no-op
+    return f" {m.group(1)} "
 
 
 _KEYWORDS = [_kw_of(p) for p, *_ in _PATTERNS]
@@ -211,6 +237,48 @@ def sentences(body: str) -> list[str]:
     return out
 
 
+# -- clause normalization (round-4 template-breadth probe) -------------------
+# Appositive ("Alice Smith, CEO of Acme Corp, lives in Paris") and
+# non-restrictive relative clause ("Alice, who works at Acme, moved to
+# Paris") constructions carry TWO facts the anchored sentence templates
+# can't see. Rather than multiplying every template by every embedding
+# position, the sentence is normalized into its component clauses first —
+# the deterministic analogue of the reference LLM extracting multiple
+# edges from one sentence (prompts/extract_edges.py:91-124 asks for ALL
+# fact triples in the episode).
+_APPOS = re.compile(
+    rf"^(?P<a>{_NAME}), (?:the )?(?P<role>CEO|founder|head) of "
+    rf"(?P<b>{_NAME}), (?P<rest>.+)$")
+_RELCL = re.compile(rf"^(?P<a>{_NAME}), who (?P<vp>.+?), (?P<rest>.+)$")
+_APPOS_PRED = {"CEO": "is the CEO of"}     # other roles: mention-only
+_ADVERB = re.compile(r"\b(?:currently|now|still|recently)\s+")
+
+
+def expand_clauses(sent: str) -> list[str]:
+    """Sentence → component clauses for template matching. Plain
+    sentences pass through unchanged (the ``", "``/adverb guards keep
+    the hot path to two C-level substring scans). One nesting level —
+    the rest-clause is expanded once more so 'X, who VP, REST' with an
+    adverb in REST still lands."""
+    if ", " in sent:
+        m = _APPOS.match(sent)
+        if m:
+            a, role, b = m.group("a"), m.group("role"), m.group("b")
+            head = ([f"{a} {_APPOS_PRED[role]} {b}"]
+                    if role in _APPOS_PRED else [])
+            return head + expand_clauses(f"{a} {m.group('rest')}")
+        m = _RELCL.match(sent)
+        if m:
+            a = m.group("a")
+            return (expand_clauses(f"{a} {m.group('vp')}")
+                    + expand_clauses(f"{a} {m.group('rest')}"))
+    if ("ly " in sent or "now " in sent) and _ADVERB.search(sent):
+        stripped = _ADVERB.sub("", sent)
+        if stripped != sent:
+            return [stripped]
+    return [sent]
+
+
 _GENERIC_SPEAKERS = frozenset({"user", "assistant", "tool", "system"})
 
 # Episode source kinds (EpisodeType, ``nodes.py:45-70``): 'message' content
@@ -318,7 +386,12 @@ def extract_all(content: str, ts: datetime | None,
             add(subject, TYPE_ENTITY)
         for _k, v in pairs:
             add(v, TYPE_ENTITY)
-        if want_triples and subject is not None:
+        # Excluded-type guard mirrors the message/text path: both JSON
+        # slots are TYPE_ENTITY, so excluding 'Entity' refuses the nodes
+        # AND their edges (node_operations.py:157-160 — the reference
+        # never extracts edges to nodes it refused to extract).
+        if (want_triples and subject is not None
+                and TYPE_ENTITY not in excluded):
             for k, v in pairs:
                 if normalize_name(subject) == normalize_name(v):
                     continue
@@ -335,7 +408,8 @@ def extract_all(content: str, ts: datetime | None,
         speaker, body = split_speaker(content)
     if speaker and speaker.lower() not in _GENERIC_SPEAKERS:
         add(speaker, TYPE_SPEAKER)
-    for sent in sentences(body):
+    for raw_sent in sentences(body):
+      for sent in expand_clauses(raw_sent):
         hit = _match_templates(sent, patterns)
         if hit is None:
             continue

@@ -1,0 +1,120 @@
+"""Template-breadth P/R probe (round-4 task 8).
+
+Renders a held-out corpus of known facts in surface-form families the
+extraction templates may or may not cover, and measures per-family triple
+precision/recall of ``rules.extract_all`` against the gold triples. This
+quantifies the silent-no-extraction risk an ontology user runs: a family
+with recall 0 means those sentences contribute NOTHING to the graph, with
+no error anywhere.
+
+Families marked covered=True were added in round 4 (passive voice,
+employer-subject actives, locative synonyms, appositive/relative-clause
+normalization, adverb insertion); the residual families at the bottom are
+left uncovered ON PURPOSE and reported, so the risk number is honest
+rather than a victory lap. Run: python scripts/exp_templates.py
+"""
+
+import json
+import random
+import sys
+from datetime import datetime, timezone
+
+sys.path.insert(0, "/root/repo")
+from graphiti_spark import rules  # noqa: E402
+
+TS = datetime(2025, 1, 1, tzinfo=timezone.utc)
+RNG = random.Random(404)
+
+FIRST = ["Alice", "Bob", "Carol", "David", "Erin", "Frank", "Grace"]
+LAST = ["Smith", "Jones", "Miller", "Garcia", "Chen", "Patel"]
+ORGS = ["Acme Corp", "Globex", "Initech", "Hooli", "Umbrella Labs"]
+CITIES = ["Paris", "Berlin", "Tokyo", "Austin", "Lisbon", "Oslo"]
+
+# family → (render(person, org, city, year) -> sentence, gold triples)
+FAMILIES = {
+    # round-4 additions (should be ~1.0 now)
+    "passive_employed_by": (
+        lambda p, o, c, y: (f"{p} is employed by {o}.",
+                            {(p, "WORKS_AT", o)})),
+    "employer_subject": (
+        lambda p, o, c, y: (f"{o} employs {p}.", {(p, "WORKS_AT", o)})),
+    "passive_founded_by": (
+        lambda p, o, c, y: (f"{o} was founded by {p} in {y}.",
+                            {(p, "FOUNDED", o)})),
+    "resides_in": (
+        lambda p, o, c, y: (f"{p} resides in {c}.", {(p, "LIVES_IN", c)})),
+    "org_based_in": (
+        lambda p, o, c, y: (f"{o} is based in {c}.", {(o, "LIVES_IN", c)})),
+    "relocated_to": (
+        lambda p, o, c, y: (f"{p} relocated to {c}.",
+                            {(p, "LIVES_IN", c)})),
+    "adverb_inserted": (
+        lambda p, o, c, y: (f"{p} currently works at {o}.",
+                            {(p, "WORKS_AT", o)})),
+    "appositive_ceo": (
+        lambda p, o, c, y: (f"{p}, CEO of {o}, lives in {c}.",
+                            {(p, "CEO_OF", o), (p, "LIVES_IN", c)})),
+    "relative_clause": (
+        lambda p, o, c, y: (f"{p}, who works at {o}, moved to {c}.",
+                            {(p, "WORKS_AT", o), (p, "LIVES_IN", c)})),
+    # baseline actives (sanity: must be 1.0)
+    "active_works_at": (
+        lambda p, o, c, y: (f"{p} works at {o}.", {(p, "WORKS_AT", o)})),
+    "active_founded": (
+        lambda p, o, c, y: (f"{p} founded {o} in {y}.",
+                            {(p, "FOUNDED", o)})),
+    # residual, deliberately uncovered — the honest risk number
+    "perfect_progressive": (
+        lambda p, o, c, y: (f"{p} has been living in {c}.",
+                            {(p, "LIVES_IN", c)})),
+    "possessive_ceo": (
+        lambda p, o, c, y: (f"{o}'s CEO is {p}.", {(p, "CEO_OF", o)})),
+    "copular_employee": (
+        lambda p, o, c, y: (f"{p} is an employee of {o}.",
+                            {(p, "WORKS_AT", o)})),
+}
+
+N_PER_FAMILY = 200
+
+
+def main():
+    report = {}
+    for fam, render in FAMILIES.items():
+        tp = fp = fn = 0
+        for _ in range(N_PER_FAMILY):
+            p = f"{RNG.choice(FIRST)} {RNG.choice(LAST)}"
+            o, c, y = RNG.choice(ORGS), RNG.choice(CITIES), RNG.randint(
+                1980, 2020)
+            sent, gold = render(p, o, c, y)
+            _, triples = rules.extract_all(f"user: {sent}", TS)
+            got = {(t["subj"], t["pred"], t["obj"]) for t in triples}
+            tp += len(got & gold)
+            fp += len(got - gold)
+            fn += len(gold - got)
+        prec = tp / (tp + fp) if tp + fp else 1.0
+        rec = tp / (tp + fn) if tp + fn else 1.0
+        report[fam] = {"precision": round(prec, 4), "recall": round(rec, 4),
+                       "tp": tp, "fp": fp, "fn": fn}
+        print(f"{fam:24s} P={prec:.3f} R={rec:.3f} "
+              f"(tp={tp} fp={fp} fn={fn})")
+    covered = [f for f, r in report.items() if r["recall"] >= 0.999]
+    uncovered = [f for f, r in report.items() if r["recall"] == 0.0]
+    # micro-averaged over the whole held-out mix
+    TP = sum(r["tp"] for r in report.values())
+    FP = sum(r["fp"] for r in report.values())
+    FN = sum(r["fn"] for r in report.values())
+    summary = {
+        "families": report,
+        "micro_precision": round(TP / (TP + FP), 4),
+        "micro_recall": round(TP / (TP + FN), 4),
+        "covered": covered, "uncovered": uncovered,
+        "n_per_family": N_PER_FAMILY,
+    }
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "families"}))
+    with open("/root/repo/BENCH_TEMPLATES.json", "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -264,6 +264,13 @@ def test_excluded_types_drop_mentions_and_triples():
     m2 = [x["name"] for x in rules.extract_mentions(
         "Alice: Bob works at Acme.", ontology=onto2)]
     assert m2 == ["Bob", "Acme"]
+    # JSON branch: excluding 'Entity' refuses the nodes AND their edges —
+    # no triples to entities that were never extracted.
+    onto3 = Ontology(excluded_entity_types=["Entity"])
+    payload = '{"name": "Acme Corp", "ceo": "Alice Smith"}'
+    m3, t3 = rules.extract_all(payload, TS, source=rules.SOURCE_JSON,
+                               ontology=onto3)
+    assert m3 == [] and t3 == []
 
 
 def test_template_validation_errors():
@@ -331,3 +338,78 @@ def test_ontology_pickles_and_fingerprints():
     # functional declarations merge with the builtins
     assert "SUPPLIES" in onto.functional_preds
     assert rules.FUNCTIONAL_PREDS <= onto.functional_preds
+
+
+# --- round-4 template breadth: passive / locative / clause families -----
+
+
+def test_passive_voice_families():
+    # group names carry roles: passive surface order still yields
+    # (person, WORKS_AT/FOUNDED, org) with person as subject
+    t = rules.extract_triples("user: Alice is employed by Acme Corp.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Alice", "WORKS_AT", "Acme Corp")]
+    t = rules.extract_triples("user: Acme Corp employs Alice.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Alice", "WORKS_AT", "Acme Corp")]
+    t = rules.extract_triples(
+        "user: Acme Corp was founded by Alice in 1999.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Alice", "FOUNDED", "Acme Corp")]
+    assert t[0]["valid_at"].year == 1999
+    # passive negation supersedes like the active form
+    t = rules.extract_triples(
+        "user: Alice is no longer employed by Acme Corp.", TS)
+    assert t[0]["invalid_at"] == TS and t[0]["valid_at"] is None
+    # mention typing follows the ROLE, not the surface position
+    m = rules.extract_mentions("user: Acme Corp employs Alice.")
+    types = {x["name"]: x["entity_type_id"] for x in m}
+    assert types["Alice"] == "Person" and types["Acme Corp"] == "Organization"
+
+
+def test_locative_synonyms():
+    for s, subj, obj in [("Alice resides in Paris.", "Alice", "Paris"),
+                         ("Zeta Ltd is based in Berlin.", "Zeta Ltd",
+                          "Berlin"),
+                         ("Bob relocated to Lyon.", "Bob", "Lyon")]:
+        t = rules.extract_triples(f"user: {s}", TS)
+        assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+            [(subj, "LIVES_IN", obj)]
+
+
+def test_appositive_and_relative_clause_expansion():
+    t = rules.extract_triples(
+        "user: Alice Smith, CEO of Acme Corp, lives in Paris.", TS)
+    assert {(x["subj"], x["pred"], x["obj"]) for x in t} == \
+        {("Alice Smith", "CEO_OF", "Acme Corp"),
+         ("Alice Smith", "LIVES_IN", "Paris")}
+    t = rules.extract_triples(
+        "user: Alice, who works at Acme Corp, moved to Paris.", TS)
+    assert {(x["subj"], x["pred"], x["obj"]) for x in t} == \
+        {("Alice", "WORKS_AT", "Acme Corp"), ("Alice", "LIVES_IN", "Paris")}
+    # non-CEO appositive roles fall back to the rest-clause only
+    t = rules.extract_triples(
+        "user: Alice, founder of Acme Corp, lives in Paris.", TS)
+    assert {(x["subj"], x["pred"], x["obj"]) for x in t} == \
+        {("Alice", "LIVES_IN", "Paris")}
+
+
+def test_adverb_stripping():
+    t = rules.extract_triples("user: Alice currently works at Acme Corp.",
+                              TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Alice", "WORKS_AT", "Acme Corp")]
+    t = rules.extract_triples("user: Bob recently relocated to Lyon.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Bob", "LIVES_IN", "Lyon")]
+    # lowercase filler with a comma/adverb-ish word never matches
+    assert rules.extract_triples(
+        "user: thanks, that was exactly what i needed now.", TS) == []
+
+
+def test_expand_clauses_passthrough():
+    # plain sentences come back verbatim (hot path untouched)
+    assert rules.expand_clauses("Alice works at Acme Corp") == \
+        ["Alice works at Acme Corp"]
+    assert rules.expand_clauses("status: ok, 200 records processed") == \
+        ["status: ok, 200 records processed"]
