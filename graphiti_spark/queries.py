@@ -831,6 +831,73 @@ FROM documents WHERE doc_id < 500
 """
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL pixel/sample decode, end-to-end and oracle-checked: synthetic
+    containers WITH content (multimodal.synthetic_containers_px — 8-bit
+    grayscale PNG whose rows cycle all five spec filter types, PCM16
+    WAV with a mod-4001 sample ramp) are decoded back by the distributed
+    stdlib codec (decode_stats: zlib inflate + per-row unfilter / RIFF +
+    int16 frames, narrow Arrow mapInPandas). The emitted statistics are
+    INTEGER-exact sums, and both the pixels and the samples are pure
+    arithmetic in doc_id — so DuckDB states the expected stats
+    closed-form; any mis-inverted filter, wrong stride, or endianness
+    slip mismatches the hash."""
+    from graphiti_spark.operators.multimodal import (
+        decode_stats, synthetic_containers_px)
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    out = decode_stats(synthetic_containers_px(d))
+    return out.select(
+        F.regexp_replace("media_id", "^m", "").cast("long").alias("doc_id"),
+        "kind", "width", "height", "channels", "px_sum", "px_min", "px_max",
+        "n_samples", "sample_rate", "sample_sum", "sample_sumsq", "decoded")
+
+
+SQL_MEDIA_DECODE = """
+WITH img AS (
+  SELECT d.doc_id,
+         CAST(16 + d.doc_id % 32 AS INTEGER) AS width,
+         CAST(9 + d.doc_id % 7 AS INTEGER) AS height,
+         SUM((d.doc_id + 17 * y.y) % 256) AS colsum,
+         MIN((d.doc_id + 17 * y.y) % 256) AS vmin,
+         MAX((d.doc_id + 17 * y.y) % 256) AS vmax
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id < 500 AND doc_id % 2 = 0) d
+  JOIN generate_series(0, 14) AS y(y) ON y.y < 9 + d.doc_id % 7
+  GROUP BY d.doc_id
+), aud AS (
+  SELECT d.doc_id,
+         SUM(((37 * d.doc_id + 11 * i.i) % 4001) - 2000) AS ssum,
+         SUM((((37 * d.doc_id + 11 * i.i) % 4001) - 2000)
+             * (((37 * d.doc_id + 11 * i.i) % 4001) - 2000)) AS ssumsq
+  FROM (SELECT doc_id FROM documents
+        WHERE doc_id < 500 AND doc_id % 2 = 1) d
+  CROSS JOIN generate_series(0, 1599) AS i(i)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, 'image' AS kind, width, height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(width * colsum AS BIGINT) AS px_sum,
+       CAST(vmin AS INTEGER) AS px_min, CAST(vmax AS INTEGER) AS px_max,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS BIGINT) AS sample_sum,
+       CAST(NULL AS BIGINT) AS sample_sumsq,
+       TRUE AS decoded
+FROM img
+UNION ALL
+SELECT doc_id, 'audio' AS kind, CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height, CAST(NULL AS INTEGER) AS channels,
+       CAST(NULL AS BIGINT) AS px_sum, CAST(NULL AS INTEGER) AS px_min,
+       CAST(NULL AS INTEGER) AS px_max,
+       CAST(1600 AS BIGINT) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(ssum AS BIGINT) AS sample_sum,
+       CAST(ssumsq AS BIGINT) AS sample_sumsq,
+       TRUE AS decoded
+FROM aud
+"""
+
+
 def q_cross_encoder_rerank(spark, sf_dir):
     """Q7 cross_encoder reranker stand-in (operators/search.py
     cross_encoder_rank): lexical-overlap score of each document vs a fixed
@@ -1627,6 +1694,95 @@ SELECT query_id, uuid, round(score, 6) AS score, rn FROM (
 """
 
 
+def q_kg_mmr_diverse(spark, sf_dir):
+    """F5/Q7 MMR with the DIVERSITY TERM LIVE (λ=0.5): same distributed
+    path as kg_mmr (grouped applyInPandas greedy), but the oracle unrolls
+    the greedy loop itself — 3 selection steps as 3 CTEs, each an argmax
+    of ``0.5·rel − 0.5·max_sim(candidate, selected)`` with uuid
+    tie-break, over 12 candidates × 3 queries. Any error in the
+    diversity penalty (wrong sign, missing max over selected, stale
+    similarity) picks a different candidate at step 2/3 and mismatches
+    rows, not just scores. Complements kg_mmr's λ=1 degenerate case
+    (search_utils.py:968-1006).
+
+    Candidates (vec_id 4..15) and queries (vec_id < 3) are DISJOINT on
+    purpose: a candidate identical to the query makes the step-2 MMR of
+    every candidate exactly 0.5·(rel − rel) = 0 — an all-way tie whose
+    argmax is then decided by last-ulp BLAS noise, unreproducible in
+    SQL. Disjoint sets keep every selection gap ~1e-2, far above float
+    divergence."""
+    from graphiti_spark.operators.search import mmr_rerank_grouped
+    e = load(spark, sf_dir, "embeddings")
+    cands = e.where((F.col("vec_id") >= 4) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").cast("string").alias("uuid"), "embedding")
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    c = cands.crossJoin(F.broadcast(queries.select("query_id")))
+    out = mmr_rerank_grouped(c, queries, emb_col="embedding",
+                             mmr_lambda=0.5, limit=3)
+    return out.select("query_id", "uuid",
+                      F.round("score", 6).alias("score"), "rn")
+
+
+SQL_KG_MMR_DIVERSE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 16
+), nrm0 AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM e
+), nrm AS (
+  SELECT * FROM nrm0 WHERE vec_id >= 4
+), rel AS (
+  SELECT q.vec_id AS query_id, CAST(c.vec_id AS VARCHAR) AS uuid,
+         list_sum(list_transform(range(1, len(c.v) + 1),
+                                 i -> c.v[i] * q.v[i])) / (c.n * q.n) AS rel
+  FROM nrm c, (SELECT * FROM nrm0 WHERE vec_id < 3) q
+), csim AS (
+  SELECT CAST(a.vec_id AS VARCHAR) AS u1, CAST(b.vec_id AS VARCHAR) AS u2,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * b.v[i])) / (a.n * b.n) AS sim
+  FROM nrm a, nrm b
+), s1 AS (
+  SELECT query_id, uuid, 0.5 * rel AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, uuid) AS rk FROM rel
+  ) WHERE rk = 1
+), m2 AS (
+  SELECT r.query_id, r.uuid, 0.5 * r.rel - 0.5 * cs.sim AS score
+  FROM rel r
+  JOIN s1 ON s1.query_id = r.query_id AND r.uuid <> s1.uuid
+  JOIN csim cs ON cs.u1 = r.uuid AND cs.u2 = s1.uuid
+), s2 AS (
+  SELECT query_id, uuid, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, uuid) AS rk FROM m2
+  ) WHERE rk = 1
+), m3 AS (
+  SELECT r.query_id, r.uuid,
+         0.5 * r.rel - 0.5 * GREATEST(c1.sim, c2.sim) AS score
+  FROM rel r
+  JOIN s1 ON s1.query_id = r.query_id
+  JOIN s2 ON s2.query_id = r.query_id
+  JOIN csim c1 ON c1.u1 = r.uuid AND c1.u2 = s1.uuid
+  JOIN csim c2 ON c2.u1 = r.uuid AND c2.u2 = s2.uuid
+  WHERE r.uuid <> s1.uuid AND r.uuid <> s2.uuid
+), s3 AS (
+  SELECT query_id, uuid, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, uuid) AS rk FROM m3
+  ) WHERE rk = 1
+)
+SELECT query_id, uuid, round(score, 6) AS score,
+       CAST(1 AS INTEGER) AS rn FROM s1
+UNION ALL
+SELECT query_id, uuid, round(score, 6), CAST(2 AS INTEGER) FROM s2
+UNION ALL
+SELECT query_id, uuid, round(score, 6), CAST(3 AS INTEGER) FROM s3
+"""
+
+
 def q_kg_node_distance(spark, sf_dir):
     """J10/Q7 node-distance reranker (operators/search.py, mirroring
     search_utils.py:893-936): center = conv0's person entity, candidates =
@@ -1923,6 +2079,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
+    "media_decode": q_media_decode,
     "cross_encoder_rerank": q_cross_encoder_rerank,
     "bm25_search": q_bm25_search,
     "composite_search": q_composite_search,
@@ -1937,6 +2094,7 @@ QUERIES = {
     "kg_search_filters": q_kg_search_filters,
     "kg_node_distance": q_kg_node_distance,
     "kg_mmr": q_kg_mmr,
+    "kg_mmr_diverse": q_kg_mmr_diverse,
     "kg_episode_mentions": q_kg_episode_mentions,
     "kg_edges_by_node": q_kg_edges_by_node,
     "kg_add_triplet": q_kg_add_triplet,
@@ -1972,6 +2130,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
+    "media_decode": SQL_MEDIA_DECODE,
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "bm25_search": SQL_BM25_SEARCH,
     "composite_search": SQL_COMPOSITE_SEARCH,
@@ -1986,6 +2145,7 @@ ORACLES = {
     "kg_search_filters": SQL_KG_SEARCH_FILTERS,
     "kg_node_distance": SQL_KG_NODE_DISTANCE,
     "kg_mmr": SQL_KG_MMR,
+    "kg_mmr_diverse": SQL_KG_MMR_DIVERSE,
     "kg_episode_mentions": SQL_KG_EPISODE_MENTIONS,
     "kg_edges_by_node": SQL_KG_EDGES_BY_NODE,
     "kg_add_triplet": SQL_KG_ADD_TRIPLET,
