@@ -364,9 +364,22 @@ def scaling(args):
         "cpu_baseline_mops": cpu,
         **{wlabel(c): results[c] for c in widths},
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SCALING.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SCALING.json")
+    to_write = summary
+    if exec_mode and os.path.exists(out_path):
+        # The pinned-thread protocol stays the headline; executor-JVM
+        # results (real shuffle/serialization boundaries over loopback)
+        # are published alongside it as the disclosed secondary protocol.
+        try:
+            existing = json.load(open(out_path))
+        except Exception:
+            existing = None
+        if existing and "local-cluster" not in existing.get("protocol", ""):
+            existing["secondary_exec_protocol"] = summary
+            to_write = existing
+    with open(out_path, "w") as f:
+        json.dump(to_write, f, indent=2)
     print(json.dumps(summary))
 
 
