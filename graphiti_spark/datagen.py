@@ -112,7 +112,16 @@ def _gen_range(args):
     for ci in range(lo, hi):
         conv_id = f"conv{ci:06d}"
         conv_rng = np.random.default_rng(seed * 1_000_003 + ci)
-        base = BASE_TS + timedelta(hours=ci)
+        # Conversation base times advance 1h per conv. Unwrapped, conv
+        # index ~2.09M (between sf40 and sf100) crosses pandas' year-2262
+        # nanosecond-timestamp bound, so indices past 2M wrap back to
+        # BASE_TS with a minute offset for near-uniqueness — bit-identical
+        # to the old layout for every ci < 2_000_000 (all corpora ≤ sf40),
+        # and timestamps only ever matter WITHIN a conversation (windows
+        # and retrieval partition by conv/group), so cross-conv collisions
+        # are harmless.
+        base = BASE_TS + timedelta(hours=ci % 2_000_000,
+                                   minutes=ci // 2_000_000)
 
         # cast: 2-3 persons (alias-prone), 1-2 orgs, 1-2 cities
         persons = _mk_persons(conv_rng, int(conv_rng.integers(2, 4)))

@@ -190,10 +190,13 @@ def _member_edge_rows(members: DataFrame, run_ts: datetime) -> DataFrame:
 
 
 def build_communities(entities: DataFrame, edges: DataFrame,
-                      run_ts: datetime) -> tuple[DataFrame, DataFrame]:
+                      run_ts: datetime,
+                      mode: str = "monotone") -> tuple[DataFrame, DataFrame]:
     """→ (communities, community_edges) — CommunityNode rows (uuid, name,
-    group_id, summary, created_at) + HAS_MEMBER thin edges."""
-    labels = label_propagation(entities, edges)
+    group_id, summary, created_at) + HAS_MEMBER thin edges. ``mode``
+    passes through to :func:`label_propagation` (monotone scale default
+    or the reference-semantics synchronous vote)."""
+    labels = label_propagation(entities, edges, mode=mode)
     members = (entities.join(labels.select("uuid", "community"), "uuid")
                .join(_degree(edges), "uuid", "left").na.fill({"degree": 0})
                .withColumn("community_uuid",

@@ -1468,6 +1468,28 @@ FROM customer WHERE c_custkey < 300
 """
 
 
+def q_kg_communities_ref(spark, sf_dir):
+    """A4 in ``mode="reference"`` — the reference's exact synchronous
+    plurality-vote update (``community_operations.py:77-122``) instead of
+    the monotone scale default. On each conversation's 3-entity star
+    (all edge weights 1) the reference rule also provably converges to
+    the component max label: every vote has weight 1, so each node takes
+    ``max(candidate, current)``, and within ≤3 rounds all three nodes
+    carry max(u_person, u_org, u_place) — the SAME closed-form partition
+    as the monotone mode, so the oracle is shared. Arbitrary-graph
+    equivalence with a pure-Python port of the reference loop stays
+    pytest-gated (tests/test_communities.py)."""
+    from graphiti_spark.operators.communities import build_communities
+    from graphiti_spark.plans.pipeline import build_graph
+    tr = derived_transcripts(spark, sf_dir)   # no negation turn
+    tr = tr.where(F.col("conv_id").isin(
+        [f"conv{i}" for i in range(300)]))    # bound driver runtime
+    g = build_graph(spark, tr, run_ts=RUN_TS)
+    comms, _ = build_communities(g.entities, g.edges, RUN_TS,
+                                 mode="reference")
+    return comms.select("group_id", "name", "n_members")
+
+
 def q_kg_entity_summaries(spark, sf_dir):
     """E4 attribute/summary extraction end-to-end: entity summaries are
     the chronological '. '-joined concat of each entity's supporting facts
@@ -2090,6 +2112,7 @@ QUERIES = {
     "kg_custom_ontology": q_kg_custom_ontology,
     "kg_relevant_nodes": q_kg_relevant_nodes,
     "kg_communities": q_kg_communities,
+    "kg_communities_ref": q_kg_communities_ref,
     "kg_entity_summaries": q_kg_entity_summaries,
     "kg_search_filters": q_kg_search_filters,
     "kg_node_distance": q_kg_node_distance,
@@ -2141,6 +2164,7 @@ ORACLES = {
     "kg_custom_ontology": SQL_KG_CUSTOM_ONTOLOGY,
     "kg_relevant_nodes": SQL_KG_RELEVANT_NODES,
     "kg_communities": SQL_KG_COMMUNITIES,
+    "kg_communities_ref": SQL_KG_COMMUNITIES,
     "kg_entity_summaries": SQL_KG_ENTITY_SUMMARIES,
     "kg_search_filters": SQL_KG_SEARCH_FILTERS,
     "kg_node_distance": SQL_KG_NODE_DISTANCE,

@@ -97,6 +97,20 @@ _PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
      "LIVES_IN", "pos", TYPE_ORG, TYPE_PLACE),
     (re.compile(rf"^(?P<a>{_NAME}) relocated to (?P<b>{_NAME})$"),
      "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
+    # Former held-out residuals, promoted to covered after the probe
+    # measured them at R=0 (BENCH_TEMPLATES.json): perfect progressive,
+    # possessive CEO (the 's join is part of the keyword literal),
+    # copular employee, and the nominalized founder form. The probe now
+    # holds out harder families instead (pronoun coreference, conjoined
+    # subjects) that per-sentence templates genuinely cannot express.
+    (re.compile(rf"^(?P<a>{_NAME}) has been living in (?P<b>{_NAME})$"),
+     "LIVES_IN", "pos", TYPE_PERSON, TYPE_PLACE),
+    (re.compile(rf"^(?P<b>{_NAME})'s CEO is (?P<a>{_NAME})$"),
+     "CEO_OF", "pos", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) is an employee of (?P<b>{_NAME})$"),
+     "WORKS_AT", "pos", TYPE_PERSON, TYPE_ORG),
+    (re.compile(rf"^(?P<a>{_NAME}) is the founder of (?P<b>{_NAME})$"),
+     "FOUNDED", "pos", TYPE_PERSON, TYPE_ORG),
 ]
 
 # Literal verb-phrase anchor per built-in template: a match REQUIRES the
@@ -109,11 +123,12 @@ _PATTERNS: list[tuple[re.Pattern[str], str, str, str, str]] = [
 # regexes) skip the router.
 def _kw_of(pat: re.Pattern[str]) -> str:
     # first inter-group literal, whichever role group comes first
-    # (passive templates put <b> before <a>)
-    m = re.search(r"\)\s(.+?)\s\(\?P<[ab]>", pat.pattern)
+    # (passive templates put <b> before <a>; the possessive template
+    # joins the name with 's, which is part of the literal)
+    m = re.search(r"\)((?:'s)?\s.+?)\s\(\?P<[ab]>", pat.pattern)
     if not m or re.search(r"[\\()\[\]|?*+]", m.group(1)):
         return ""                       # non-literal → prefilter no-op
-    return f" {m.group(1)} "
+    return f"{m.group(1)} "
 
 
 _KEYWORDS = [_kw_of(p) for p, *_ in _PATTERNS]
@@ -281,6 +296,17 @@ def expand_clauses(sent: str) -> list[str]:
 
 _GENERIC_SPEAKERS = frozenset({"user", "assistant", "tool", "system"})
 
+#: Capitalized pronouns satisfy the _NAME shape at sentence start
+#: ("She works at Acme"). A pronoun slot is an UNRESOLVED reference —
+#: emitting it would mint a bogus entity node named "She" — so the
+#: matched template yields neither that mention nor a triple (resolving
+#: it needs cross-sentence coreference, which per-sentence templates
+#: cannot express; measured as the pronoun_coref residual family in
+#: scripts/exp_templates.py). The reference delegates this to the LLM
+#: (prompts/extract_nodes.py instructs pronoun resolution).
+_PRONOUNS = frozenset({"she", "he", "they", "it", "we", "i", "you",
+                       "her", "him", "them", "his", "hers", "its"})
+
 # Episode source kinds (EpisodeType, ``nodes.py:45-70``): 'message' content
 # is "actor: content"; 'text' is plain prose (no speaker); 'json' is a
 # structured object.
@@ -414,8 +440,14 @@ def extract_all(content: str, ts: datetime | None,
         if hit is None:
             continue
         m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
-        add(m.group("a"), t_a)
-        add(m.group("b"), t_b)
+        a_pron = normalize_name(m.group("a")) in _PRONOUNS
+        b_pron = normalize_name(m.group("b")) in _PRONOUNS
+        if not a_pron:
+            add(m.group("a"), t_a)
+        if not b_pron:
+            add(m.group("b"), t_b)
+        if a_pron or b_pron:
+            continue   # unresolved reference: no bogus entity, no triple
         if not want_triples or t_a in excluded or t_b in excluded:
             continue
         subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))

@@ -63,7 +63,9 @@ FAMILIES = {
     "active_founded": (
         lambda p, o, c, y: (f"{p} founded {o} in {y}.",
                             {(p, "FOUNDED", o)})),
-    # residual, deliberately uncovered — the honest risk number
+    # round-4b additions: the three families the first probe measured at
+    # R=0 (perfect progressive, possessive CEO, copular employee), plus
+    # the nominalized founder form
     "perfect_progressive": (
         lambda p, o, c, y: (f"{p} has been living in {c}.",
                             {(p, "LIVES_IN", c)})),
@@ -72,6 +74,21 @@ FAMILIES = {
     "copular_employee": (
         lambda p, o, c, y: (f"{p} is an employee of {o}.",
                             {(p, "WORKS_AT", o)})),
+    "founder_nominal": (
+        lambda p, o, c, y: (f"{p} is the founder of {o}.",
+                            {(p, "FOUNDED", o)})),
+    # residual, deliberately uncovered — the honest risk number. These
+    # need cross-sentence or intra-sentence machinery per-sentence
+    # templates cannot express: pronoun coreference (the antecedent is in
+    # the PREVIOUS sentence) and conjoined subjects (one clause asserts
+    # two facts with plural verb agreement).
+    "pronoun_coref": (
+        lambda p, o, c, y: (f"{p} joined the team. She works at {o}.",
+                            {(p, "WORKS_AT", o)})),
+    "conjoined_subject": (
+        lambda p, o, c, y: (f"{p} and Dana Kim work at {o}.",
+                            {(p, "WORKS_AT", o),
+                             ("Dana Kim", "WORKS_AT", o)})),
 }
 
 N_PER_FAMILY = 200

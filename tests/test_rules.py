@@ -413,3 +413,42 @@ def test_expand_clauses_passthrough():
         ["Alice works at Acme Corp"]
     assert rules.expand_clauses("status: ok, 200 records processed") == \
         ["status: ok, 200 records processed"]
+
+
+def test_round4b_template_families():
+    # perfect progressive / possessive CEO / copular employee / nominal
+    # founder — the families the round-4 held-out probe measured at R=0
+    for s, subj, pred, obj in [
+            ("Alice Chen has been living in Paris.",
+             "Alice Chen", "LIVES_IN", "Paris"),
+            ("Acme Corp's CEO is Alice Chen.",
+             "Alice Chen", "CEO_OF", "Acme Corp"),
+            ("Bob Patel is an employee of Globex.",
+             "Bob Patel", "WORKS_AT", "Globex"),
+            ("Carol Jones is the founder of Initech.",
+             "Carol Jones", "FOUNDED", "Initech")]:
+        t = rules.extract_triples(f"user: {s}", TS)
+        assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+            [(subj, pred, obj)], s
+    # founder-nominal has no year: valid_at defaults to event time
+    t = rules.extract_triples(
+        "user: Carol Jones is the founder of Initech.", TS)
+    assert t[0]["valid_at"] == TS
+    # the possessive keyword literal is derived, not hand-listed
+    assert "'s CEO is " in rules._KEYWORDS
+
+
+def test_pronoun_slots_yield_no_entity_and_no_triple():
+    # "She works at Globex" satisfies the _NAME shape at sentence start;
+    # emitting it would mint a bogus entity node named "She". A pronoun
+    # slot is an unresolved reference: drop the triple, keep the
+    # non-pronoun slot's mention (the reference resolves pronouns via the
+    # LLM prompt, prompts/extract_nodes.py).
+    m, t = rules.extract_all(
+        "user: Alice Chen joined the team. She works at Globex.", TS)
+    assert [x["name"] for x in m] == ["Globex"]
+    assert t == []
+    # pronoun in the OBJECT slot too
+    m, t = rules.extract_all("user: Bob likes It.", TS)
+    assert [x["name"] for x in m] == ["Bob"]
+    assert t == []
