@@ -55,9 +55,13 @@ def _spark(cpus: int, execs: int | None = None):
         # beats 32 (111s vs 126s) and 64 (134s) — beyond ~16 concurrent
         # reduce tasks the VM's memory/clock contention outweighs added
         # parallelism (see BENCH_SCALING.json cpu_baseline). On a real
-        # cluster use 2-3× total cores instead.
+        # cluster use 2-3× total cores instead. SPARK_GRAFT_SHUFFLE_PARTITIONS
+        # overrides for large-sf probes where per-partition buffers outgrow
+        # the sf20-tuned default (see the sf100 row in BASELINE.md).
+        sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         s = get_spark(app=f"bench_local{cpus}", cores=cpus,
-                      shuffle_partitions=max(8, min(cpus, 16)))
+                      shuffle_partitions=int(sp) if sp
+                      else max(8, min(cpus, 16)))
     ship_package(s)   # executors run from their own work dirs
     s.sparkContext.setLogLevel("ERROR")
     return s
