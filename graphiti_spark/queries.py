@@ -1178,6 +1178,60 @@ SELECT conv_id, person AS subj, 'LIVES_IN' AS pred, place AS obj FROM base
 """
 
 
+def q_kg_anaphora(spark, sf_dir):
+    """Round-4c anaphora/coordination layer (rules.py: recency pronoun
+    coref in both slots, first-person→speaker, conjoined subjects/objects
+    with plural→singular conjugation, definite-NP→last org, coordinate
+    clauses under a both-sides-parse guard) exercised through the REAL
+    distributed extraction UDF over a literal transcript; the oracle
+    states every expected triple closed-form. Deterministic stand-in for
+    the reference LLM's instructed reference resolution
+    (prompts/extract_nodes.py)."""
+    from graphiti_spark.operators.episodes import assemble_episodes
+    from graphiti_spark.operators.extract import extract_edges
+    ts0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("a1", 0, "user", "Alice Chen joined the team. She works at "
+                          "Globex.", None, ts0),
+        ("a1", 1, "bob", "I founded Hooli in 2001.", None, ts0),
+        ("a2", 0, "user", "Erin Patel and Frank Woo work at Initech.",
+         None, ts0),
+        ("a2", 1, "user", "Carol Moss relocated to Oslo. Acme Corp "
+                          "employs her.", None, ts0),
+        ("a3", 0, "user", "Grace Lin works at Umbrella Labs. The company "
+                          "is based in Lisbon.", None, ts0),
+        ("a3", 1, "user", "Dana Kim works at Globex and Henry Ford lives "
+                          "in Paris.", None, ts0),
+        ("a3", 2, "user", "Ivy Chou is friends with Jack Ma and Ken Loh.",
+         None, ts0),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    eps = assemble_episodes(tr, RUN_TS)
+    raw = extract_edges(eps, RUN_TS)
+    return raw.select(F.col("group_id").alias("conv_id"),
+                      "subj", "pred", "obj")
+
+
+SQL_KG_ANAPHORA = """
+SELECT * FROM (VALUES
+  ('a1', 'Alice Chen', 'WORKS_AT',     'Globex'),
+  ('a1', 'Bob',        'FOUNDED',      'Hooli'),
+  ('a2', 'Erin Patel', 'WORKS_AT',     'Initech'),
+  ('a2', 'Frank Woo',  'WORKS_AT',     'Initech'),
+  ('a2', 'Carol Moss', 'LIVES_IN',     'Oslo'),
+  ('a2', 'Carol Moss', 'WORKS_AT',     'Acme Corp'),
+  ('a3', 'Grace Lin',  'WORKS_AT',     'Umbrella Labs'),
+  ('a3', 'Umbrella Labs', 'LIVES_IN',  'Lisbon'),
+  ('a3', 'Dana Kim',   'WORKS_AT',     'Globex'),
+  ('a3', 'Henry Ford', 'LIVES_IN',     'Paris'),
+  ('a3', 'Ivy Chou',   'FRIENDS_WITH', 'Jack Ma'),
+  ('a3', 'Ivy Chou',   'FRIENDS_WITH', 'Ken Loh')
+) AS t(conv_id, subj, pred, obj)
+"""
+
+
 def q_kg_mentions(spark, sf_dir):
     """E1 mention extraction through the real vectorized UDF (speaker-first,
     generic speakers skipped, per-episode dedup)."""
@@ -2106,6 +2160,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "composite_search": q_composite_search,
     "kg_extract_triples": q_kg_extract_triples,
+    "kg_anaphora": q_kg_anaphora,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
     "kg_fact_dates": q_kg_fact_dates,
@@ -2158,6 +2213,7 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "composite_search": SQL_COMPOSITE_SEARCH,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
+    "kg_anaphora": SQL_KG_ANAPHORA,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
     "kg_fact_dates": SQL_KG_FACT_DATES,

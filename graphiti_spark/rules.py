@@ -268,6 +268,43 @@ _RELCL = re.compile(rf"^(?P<a>{_NAME}), who (?P<vp>.+?), (?P<rest>.+)$")
 _APPOS_PRED = {"CEO": "is the CEO of"}     # other roles: mention-only
 _ADVERB = re.compile(r"\b(?:currently|now|still|recently)\s+")
 
+# Conjoined subjects ("Alice Smith and Dana Kim work at Acme") assert one
+# fact per conjunct with PLURAL verb agreement; conjoined objects ("Alice
+# is friends with Bob and Carol") assert one fact per object. Both split
+# into singular clauses here. The subject split only fires when the verb
+# phrase starts (within the 'no longer' window) with a verb whose plural
+# form we can conjugate back — an unrecognized verb means the clause
+# wouldn't match any template anyway, and the guard keeps multiword
+# proper names containing 'and' (e.g. 'Research and Development
+# announced ...') from being torn apart.
+_SUBJ_CONJ = re.compile(
+    rf"^(?P<a>{_NAME}) and (?P<b>{_NAME}) (?P<vp>[a-z].*)$")
+_OBJ_CONJ = re.compile(
+    rf"^(?P<head>.+ (?:at|in|to|with|of|by|likes|dislikes|employs)) "
+    rf"(?P<b>{_NAME}) and (?P<c>{_NAME})$")
+#: plural → 3rd-person-singular present for every verb a built-in
+#: template anchors on; past/participle forms conjugate identically and
+#: are listed so the conjoined-subject guard recognizes them.
+_PLURAL_VERB = {
+    "work": "works", "live": "lives", "reside": "resides",
+    "like": "likes", "dislike": "dislikes", "are": "is", "am": "is",
+    "have": "has", "were": "was",
+    "founded": "founded", "moved": "moved", "relocated": "relocated",
+}
+
+
+def _singular_vp(vp: str) -> str | None:
+    """Conjugate the leading verb of a plural/first-person verb phrase to
+    3rd-person singular ('no longer work at X' → 'no longer works at X');
+    None when no recognized verb appears in the first 3 tokens."""
+    toks = vp.split(" ")
+    for i, t in enumerate(toks[:3]):
+        s = _PLURAL_VERB.get(t)
+        if s is not None:
+            toks[i] = s
+            return " ".join(toks)
+    return None
+
 
 def expand_clauses(sent: str) -> list[str]:
     """Sentence → component clauses for template matching. Plain
@@ -287,6 +324,18 @@ def expand_clauses(sent: str) -> list[str]:
             a = m.group("a")
             return (expand_clauses(f"{a} {m.group('vp')}")
                     + expand_clauses(f"{a} {m.group('rest')}"))
+    if " and " in sent:
+        m = _SUBJ_CONJ.match(sent)
+        if m:
+            vp = _singular_vp(m.group("vp"))
+            if vp is not None:
+                return (expand_clauses(f"{m.group('a')} {vp}")
+                        + expand_clauses(f"{m.group('b')} {vp}"))
+        m = _OBJ_CONJ.match(sent)
+        if m:
+            head = m.group("head")
+            return (expand_clauses(f"{head} {m.group('b')}")
+                    + expand_clauses(f"{head} {m.group('c')}"))
     if ("ly " in sent or "now " in sent) and _ADVERB.search(sent):
         stripped = _ADVERB.sub("", sent)
         if stripped != sent:
@@ -297,15 +346,53 @@ def expand_clauses(sent: str) -> list[str]:
 _GENERIC_SPEAKERS = frozenset({"user", "assistant", "tool", "system"})
 
 #: Capitalized pronouns satisfy the _NAME shape at sentence start
-#: ("She works at Acme"). A pronoun slot is an UNRESOLVED reference —
-#: emitting it would mint a bogus entity node named "She" — so the
-#: matched template yields neither that mention nor a triple (resolving
-#: it needs cross-sentence coreference, which per-sentence templates
-#: cannot express; measured as the pronoun_coref residual family in
-#: scripts/exp_templates.py). The reference delegates this to the LLM
-#: (prompts/extract_nodes.py instructs pronoun resolution).
+#: ("She works at Acme"). A pronoun slot is a REFERENCE, not a name —
+#: emitting it verbatim would mint a bogus entity node named "She".
+#: Personal pronouns (the _COREF subset) are resolved by recency: the
+#: most recent sentence-leading non-pronoun name in the same episode is
+#: the antecedent — the deterministic analogue of the reference LLM's
+#: instructed pronoun resolution (prompts/extract_nodes.py tells the
+#: model to resolve references to the named entity). First-person "I" in
+#: a message episode resolves to the (non-generic) speaker, per the same
+#: prompt contract. A pronoun with no available antecedent stays
+#: unresolved: the matched template yields neither that mention nor a
+#: triple. Measured by the pronoun_coref / first_person_speaker families
+#: in scripts/exp_templates.py; cross-EPISODE antecedents remain a
+#: disclosed residual (cross_episode_coref) — episodes are the
+#: extraction unit, so there is no prior sentence to look at.
 _PRONOUNS = frozenset({"she", "he", "they", "it", "we", "i", "you",
                        "her", "him", "them", "his", "hers", "its"})
+#: the resolvable-by-recency subset: 3rd-person personal pronouns.
+_COREF_PRONOUNS = frozenset({"she", "he", "they", "her", "him", "them"})
+_LEAD_NAME = re.compile(rf"^(?P<n>{_NAME})\b")
+#: lowercase OBJECT pronouns never satisfy the capitalized _NAME slot, so
+#: they are resolved by textual substitution before matching ("Acme
+#: employs her" → "Acme employs <antecedent>"); subject pronouns are
+#: capitalized, match the slot, and resolve at slot level instead.
+_TAIL_PRON = re.compile(r"^(?P<head>.+ )(?:her|him|them)$")
+#: definite-NP anaphora: "The company ..." refers to the most recent
+#: org-typed slot in the same episode (recency, like pronouns).
+_DEF_NP = ("The company ", "The firm ", "The organization ")
+
+
+def _coord_split(sent: str, patterns) -> list[str] | None:
+    """Coordinate full clauses: 'X works at A and Y lives in B' → the two
+    component clauses — but ONLY when both sides independently match a
+    template. The both-sides-parse guard is what distinguishes a clause
+    coordination from an object conjunction or a multiword name
+    containing 'and' (those were already handled, or match nothing);
+    syntax alone cannot tell them apart."""
+    start = 0
+    while True:
+        i = sent.find(" and ", start)
+        if i < 0:
+            return None
+        left, right = sent[:i], sent[i + 5:]
+        if (right[:1].isupper()
+                and _match_templates(left, patterns) is not None
+                and _match_templates(right, patterns) is not None):
+            return [left, right]
+        start = i + 5
 
 # Episode source kinds (EpisodeType, ``nodes.py:45-70``): 'message' content
 # is "actor: content"; 'text' is plain prose (no speaker); 'json' is a
@@ -432,25 +519,68 @@ def extract_all(content: str, ts: datetime | None,
         speaker, body = "", (content or "").strip()
     else:
         speaker, body = split_speaker(content)
+    speaker_name = ""
     if speaker and speaker.lower() not in _GENERIC_SPEAKERS:
         add(speaker, TYPE_SPEAKER)
+        speaker_name = clean_text(speaker)
+    antecedent = ""   # most recent sentence-leading non-pronoun name
+    antecedent_org = ""   # most recent org-typed slot (definite-NP)
     for raw_sent in sentences(body):
-      for sent in expand_clauses(raw_sent):
+      if antecedent_org and raw_sent[:1] == "T" \
+              and raw_sent.startswith(_DEF_NP):
+          # "The company is based in X" → "<last org> is based in X"
+          raw_sent = f"{antecedent_org} {raw_sent.split(' ', 2)[2]}"
+      if speaker_name and raw_sent.startswith("I "):
+          # first person resolves to the speaker (prompts/
+          # extract_nodes.py contract), conjugated to 3rd person so the
+          # singular templates see it ("I work at X" → "<speaker> works
+          # at X"). Unrecognized verb → leave as-is (matches nothing).
+          vp = _singular_vp(raw_sent[2:])
+          if vp is not None:
+              # capitalize so a lowercase speaker alias still satisfies
+              # the template _NAME shape; canonicalization is
+              # case-insensitive, so 'alice' (the speaker mention) and
+              # 'Alice' (this subject) land in the same entity
+              raw_sent = (f"{speaker_name[:1].upper()}"
+                          f"{speaker_name[1:]} {vp}")
+      clauses = expand_clauses(raw_sent)   # fresh list; safe to extend
+      ci = 0
+      while ci < len(clauses):
+        sent = clauses[ci]
+        ci += 1
+        if antecedent and sent[-1] in "rm":   # her/him/them tail, cheap
+            om = _TAIL_PRON.match(sent)
+            if om:
+                sent = f"{om.group('head')}{antecedent}"
         hit = _match_templates(sent, patterns)
         if hit is None:
+            # isupper first: it rejects lowercase distractor turns with
+            # one C-level char test before the ' and ' substring scan
+            if sent[:1].isupper() and " and " in sent:
+                parts = _coord_split(sent, patterns)
+                if parts:
+                    clauses.extend(parts)
             continue
         m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
-        a_pron = normalize_name(m.group("a")) in _PRONOUNS
-        b_pron = normalize_name(m.group("b")) in _PRONOUNS
-        if not a_pron:
-            add(m.group("a"), t_a)
-        if not b_pron:
-            add(m.group("b"), t_b)
-        if a_pron or b_pron:
-            continue   # unresolved reference: no bogus entity, no triple
+        a_name, b_name = m.group("a"), m.group("b")
+        a_norm, b_norm = normalize_name(a_name), normalize_name(b_name)
+        if a_norm in _PRONOUNS:
+            a_name = antecedent if a_norm in _COREF_PRONOUNS else ""
+        if b_norm in _PRONOUNS:
+            b_name = antecedent if b_norm in _COREF_PRONOUNS else ""
+        if a_name:
+            add(a_name, t_a)
+            if t_a == TYPE_ORG:
+                antecedent_org = clean_text(a_name)
+        if b_name:
+            add(b_name, t_b)
+            if t_b == TYPE_ORG:
+                antecedent_org = clean_text(b_name)
+        if not a_name or not b_name:
+            continue   # unresolvable reference: no bogus entity, no triple
         if not want_triples or t_a in excluded or t_b in excluded:
             continue
-        subj, obj = clean_text(m.group("a")), clean_text(m.group("b"))
+        subj, obj = clean_text(a_name), clean_text(b_name)
         if not subj or not obj or normalize_name(subj) == normalize_name(obj):
             continue
         valid_at: datetime | None = None
@@ -478,6 +608,16 @@ def extract_all(content: str, ts: datetime | None,
             "fact": sent, "valid_at": valid_at, "invalid_at": invalid_at,
             "attributes": attributes,
         })
+      # recency update AFTER the sentence is processed, so a pronoun
+      # resolves to the PREVIOUS sentence's subject, never its own; a
+      # pronoun-led sentence leaves the antecedent untouched (chains:
+      # "Alice … . She … . She … ." all resolve to Alice). The isupper
+      # guard keeps the all-lowercase hot path (distractor turns) to one
+      # C-level char test.
+      if raw_sent[0].isupper():
+          lm = _LEAD_NAME.match(raw_sent)
+          if lm and normalize_name(lm.group("n")) not in _PRONOUNS:
+              antecedent = clean_text(lm.group("n"))
     return list(seen.values()), triples
 
 

@@ -19,7 +19,11 @@ _SHIPPED: set[str] = set()
 
 def ship_package(spark: SparkSession) -> None:
     """Ship ``graphiti_spark`` to executor Python workers via addPyFile —
-    the local-mode equivalent of ``spark-submit --py-files`` (north rule).
+    the in-process equivalent of ``spark-submit --py-files`` (north rule;
+    the real submit path exists too: ``scripts/job_submit.py`` +
+    ``scripts/exp_submit.py`` launch the pipeline through the actual
+    spark-submit binary with the package zipped, and
+    ``tests/test_submit.py`` gates count-equality with this path).
 
     Needed whenever the driver process didn't start with the repo on
     PYTHONPATH (e.g. an external harness importing ``__spark_entry__`` by

@@ -77,18 +77,56 @@ FAMILIES = {
     "founder_nominal": (
         lambda p, o, c, y: (f"{p} is the founder of {o}.",
                             {(p, "FOUNDED", o)})),
-    # residual, deliberately uncovered — the honest risk number. These
-    # need cross-sentence or intra-sentence machinery per-sentence
-    # templates cannot express: pronoun coreference (the antecedent is in
-    # the PREVIOUS sentence) and conjoined subjects (one clause asserts
-    # two facts with plural verb agreement).
+    # round-4c additions: the former residuals, now covered — recency
+    # pronoun coreference (subject AND object slot), conjoined subjects
+    # (clause split + plural→singular conjugation), conjoined objects,
+    # and first-person-resolves-to-speaker (see CONTENT_FAMILIES).
     "pronoun_coref": (
         lambda p, o, c, y: (f"{p} joined the team. She works at {o}.",
                             {(p, "WORKS_AT", o)})),
+    "pronoun_object": (
+        lambda p, o, c, y: (f"{p} relocated to {c}. {o} employs her.",
+                            {(p, "LIVES_IN", c), (p, "WORKS_AT", o)})),
     "conjoined_subject": (
         lambda p, o, c, y: (f"{p} and Dana Kim work at {o}.",
                             {(p, "WORKS_AT", o),
                              ("Dana Kim", "WORKS_AT", o)})),
+    "conjoined_object": (
+        lambda p, o, c, y: (f"{p} is friends with Dana Kim and Erin Roy.",
+                            {(p, "FRIENDS_WITH", "Dana Kim"),
+                             (p, "FRIENDS_WITH", "Erin Roy")})),
+    # round-4c, second wave: definite-NP anaphora resolves to the most
+    # recent org-typed slot; coordinate full clauses split under a
+    # both-sides-parse guard (syntax alone cannot distinguish them from
+    # object conjunctions or multiword names containing 'and').
+    "definite_np_anaphora": (
+        lambda p, o, c, y: (f"{p} works at {o}. The company is based in "
+                            f"{c}.",
+                            {(p, "WORKS_AT", o), (o, "LIVES_IN", c)})),
+    "compound_sentence": (
+        lambda p, o, c, y: (f"{p} works at {o} and Dana Kim lives in {c}.",
+                            {(p, "WORKS_AT", o),
+                             ("Dana Kim", "LIVES_IN", c)})),
+    # residual, deliberately uncovered — the honest risk number. These
+    # need machinery the per-episode deterministic extractor genuinely
+    # lacks: an antecedent in a PREVIOUS episode (episodes are the
+    # extraction unit, there is no prior sentence to look at), and
+    # verb-phrase ellipsis (recovering the elided predicate is semantic
+    # inference, not pattern matching).
+    "cross_episode_coref": (
+        lambda p, o, c, y: (f"She works at {o}.", {(p, "WORKS_AT", o)})),
+    "ellipsis_too": (
+        lambda p, o, c, y: (f"{p} works at {o}. Dana Kim does too.",
+                            {(p, "WORKS_AT", o),
+                             ("Dana Kim", "WORKS_AT", o)})),
+}
+
+# families where the SPEAKER is part of the construction: render returns
+# the full episode content (no "user: " wrapper added by main()).
+CONTENT_FAMILIES = {
+    "first_person_speaker": (
+        lambda p, o, c, y: (f"{p.split()[0].lower()}: I work at {o}.",
+                            {(p.split()[0].capitalize(), "WORKS_AT", o)})),
 }
 
 N_PER_FAMILY = 200
@@ -96,14 +134,17 @@ N_PER_FAMILY = 200
 
 def main():
     report = {}
-    for fam, render in FAMILIES.items():
+    all_families = {**{f: (r, False) for f, r in FAMILIES.items()},
+                    **{f: (r, True) for f, r in CONTENT_FAMILIES.items()}}
+    for fam, (render, is_content) in all_families.items():
         tp = fp = fn = 0
         for _ in range(N_PER_FAMILY):
             p = f"{RNG.choice(FIRST)} {RNG.choice(LAST)}"
             o, c, y = RNG.choice(ORGS), RNG.choice(CITIES), RNG.randint(
                 1980, 2020)
             sent, gold = render(p, o, c, y)
-            _, triples = rules.extract_all(f"user: {sent}", TS)
+            content = sent if is_content else f"user: {sent}"
+            _, triples = rules.extract_all(content, TS)
             got = {(t["subj"], t["pred"], t["obj"]) for t in triples}
             tp += len(got & gold)
             fp += len(got - gold)
@@ -115,7 +156,7 @@ def main():
         print(f"{fam:24s} P={prec:.3f} R={rec:.3f} "
               f"(tp={tp} fp={fp} fn={fn})")
     covered = [f for f, r in report.items() if r["recall"] >= 0.999]
-    uncovered = [f for f, r in report.items() if r["recall"] == 0.0]
+    uncovered = [f for f, r in report.items() if r["recall"] < 0.999]
     # micro-averaged over the whole held-out mix
     TP = sum(r["tp"] for r in report.values())
     FP = sum(r["fp"] for r in report.values())

@@ -438,17 +438,111 @@ def test_round4b_template_families():
     assert "'s CEO is " in rules._KEYWORDS
 
 
-def test_pronoun_slots_yield_no_entity_and_no_triple():
-    # "She works at Globex" satisfies the _NAME shape at sentence start;
-    # emitting it would mint a bogus entity node named "She". A pronoun
-    # slot is an unresolved reference: drop the triple, keep the
-    # non-pronoun slot's mention (the reference resolves pronouns via the
-    # LLM prompt, prompts/extract_nodes.py).
+def test_pronoun_coref_resolves_by_recency():
+    # Personal pronouns resolve to the most recent sentence-leading
+    # non-pronoun name (the deterministic analogue of the LLM prompt's
+    # instructed resolution, prompts/extract_nodes.py) — even when the
+    # antecedent sentence itself matched no template.
     m, t = rules.extract_all(
         "user: Alice Chen joined the team. She works at Globex.", TS)
+    assert [x["name"] for x in m] == ["Alice Chen", "Globex"]
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Alice Chen", "WORKS_AT", "Globex")]
+    # chains: a pronoun-led sentence leaves the antecedent untouched
+    m, t = rules.extract_all(
+        "user: Alice works at Acme. She lives in Paris. She likes Hooli.",
+        TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice", "WORKS_AT", "Acme"), ("Alice", "LIVES_IN", "Paris"),
+        ("Alice", "LIKES", "Hooli")]
+    # object-slot pronoun resolves too
+    m, t = rules.extract_all(
+        "user: Carol Woo moved to Oslo. Acme Corp employs her.", TS)
+    assert ("Carol Woo", "WORKS_AT", "Acme Corp") in \
+        [(x["subj"], x["pred"], x["obj"]) for x in t]
+
+
+def test_unresolvable_pronouns_yield_no_entity_and_no_triple():
+    # No antecedent yet: a pronoun slot stays an unresolved reference —
+    # emitting it would mint a bogus entity node named "She".
+    m, t = rules.extract_all("user: She works at Globex.", TS)
     assert [x["name"] for x in m] == ["Globex"]
     assert t == []
-    # pronoun in the OBJECT slot too
-    m, t = rules.extract_all("user: Bob likes It.", TS)
-    assert [x["name"] for x in m] == ["Bob"]
+    # "it" is outside the resolvable subset (recency over names is a
+    # person/org heuristic; "it" is as likely clausal) — never resolved
+    m, t = rules.extract_all(
+        "user: Bob works at Acme. Bob likes It.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Bob", "WORKS_AT", "Acme")]
+
+
+def test_first_person_resolves_to_speaker():
+    # "I <vp>" in a message episode resolves to the named speaker,
+    # conjugated to 3rd person; generic speakers (user/assistant) don't
+    # resolve — there is no entity to attribute the fact to.
+    m, t = rules.extract_all("alice: I work at Initech.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Alice", "WORKS_AT", "Initech")]
+    assert {x["name"] for x in m} == {"alice", "Initech"}
+    m, t = rules.extract_all("user: I work at Initech.", TS)
     assert t == []
+    # past-tense verbs conjugate identically
+    _, t = rules.extract_all("bob: I founded Hooli in 2001.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == \
+        [("Bob", "FOUNDED", "Hooli")]
+
+
+def test_conjoined_subject_and_object_split():
+    # plural-verb conjoined subjects assert one fact per conjunct
+    _, t = rules.extract_all(
+        "user: Alice Smith and Dana Kim work at Acme Corp.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice Smith", "WORKS_AT", "Acme Corp"),
+        ("Dana Kim", "WORKS_AT", "Acme Corp")]
+    # copular plural conjugates are→is; negation window handled
+    _, t = rules.extract_all(
+        "user: Erin Chen and Frank Patel are employed by Hooli.", TS)
+    assert len(t) == 2 and all(x["pred"] == "WORKS_AT" for x in t)
+    _, t = rules.extract_all(
+        "user: Bob and Carol no longer work at Globex.", TS)
+    assert len(t) == 2 and all(x["invalid_at"] == TS for x in t)
+    # conjoined objects
+    _, t = rules.extract_all(
+        "user: Alice is friends with Bob Jones and Carol Woo.", TS)
+    assert [(x["subj"], x["obj"]) for x in t] == [
+        ("Alice", "Bob Jones"), ("Alice", "Carol Woo")]
+    # guard: a multiword proper name containing 'and' is not torn apart
+    # (the verb after the would-be second conjunct is unrecognized)
+    m, t = rules.extract_all(
+        "user: Research and Development announced a plan.", TS)
+    assert m == [] and t == []
+
+
+def test_coordinate_clauses_split_when_both_sides_parse():
+    _, t = rules.extract_all(
+        "user: Alice Smith works at Acme Corp and Dana Kim lives in "
+        "Paris.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice Smith", "WORKS_AT", "Acme Corp"),
+        ("Dana Kim", "LIVES_IN", "Paris")]
+    # a non-parsing right side blocks the split (and the whole sentence
+    # matches nothing — honest silence, not a half-extraction)
+    _, t = rules.extract_all(
+        "user: Alice Smith works at Acme and gets coffee.", TS)
+    assert t == []
+    # object-conjunction reading wins where both could apply
+    _, t = rules.extract_all("user: Alice likes Acme and Dana Kim.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice", "LIKES", "Acme"), ("Alice", "LIKES", "Dana Kim")]
+
+
+def test_definite_np_resolves_to_recent_org():
+    _, t = rules.extract_all(
+        "user: Alice Smith works at Acme Corp. The company is based in "
+        "Berlin.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice Smith", "WORKS_AT", "Acme Corp"),
+        ("Acme Corp", "LIVES_IN", "Berlin")]
+    # no org antecedent: "The company" stays unresolved, no bogus entity
+    m, t = rules.extract_all("user: The company is based in Berlin.", TS)
+    assert t == [] and [x["name"] for x in m] == []
