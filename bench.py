@@ -370,18 +370,28 @@ def scaling(args):
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_SCALING.json")
-    to_write = summary
-    if exec_mode and os.path.exists(out_path):
-        # The pinned-thread protocol stays the headline; executor-JVM
-        # results (real shuffle/serialization boundaries over loopback)
-        # are published alongside it as the disclosed secondary protocol.
+    # The pinned-thread protocol is the headline; executor-JVM results
+    # (real shuffle/serialization boundaries over loopback) are published
+    # alongside it as the disclosed secondary protocol. The merge is
+    # symmetric: an exec run nests itself under the existing headline,
+    # and a thread run re-attaches the existing secondary block — neither
+    # protocol's published results can be clobbered by re-running the
+    # other.
+    existing = None
+    if os.path.exists(out_path):
         try:
             existing = json.load(open(out_path))
         except Exception:
             existing = None
+    to_write = summary
+    if exec_mode:
         if existing and "local-cluster" not in existing.get("protocol", ""):
             existing["secondary_exec_protocol"] = summary
             to_write = existing
+    else:
+        prev_sec = (existing or {}).get("secondary_exec_protocol")
+        if prev_sec:
+            to_write = {**summary, "secondary_exec_protocol": prev_sec}
     with open(out_path, "w") as f:
         json.dump(to_write, f, indent=2)
     print(json.dumps(summary))

@@ -177,6 +177,22 @@ def sniff_media(media: DataFrame) -> DataFrame:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _png_predict(a: int, b: int, c: int, ftype: int) -> int:
+    """Spec §9 predictor for Sub(1)/Average(3)/Paeth(4), given left /
+    above / upper-left reconstructed bytes. ONE copy shared by the
+    decoder and its encoder twin, so the Average floor and the Paeth
+    tie-break order cannot drift between them."""
+    if ftype == 1:
+        return a
+    if ftype == 3:
+        return (a + b) >> 1
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
 def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     """Invert PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
     ``raw`` is the inflated IDAT stream: h rows of (1 filter byte +
@@ -204,18 +220,11 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
         elif ftype in (1, 3, 4):                         # Sub/Average/Paeth
             rec = line.copy()
             for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0      # left (reconstructed)
-                b = prior[x]                             # above
-                c = prior[x - bpp] if x >= bpp else 0    # upper-left
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                else:                                    # Paeth
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
+                pred = _png_predict(
+                    rec[x - bpp] if x >= bpp else 0,     # left (recon)
+                    prior[x],                            # above
+                    prior[x - bpp] if x >= bpp else 0,   # upper-left
+                    ftype)
                 rec[x] = (rec[x] + pred) & 0xFF
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
@@ -283,18 +292,11 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
         else:
             enc = rec.copy()
             for x in range(stride - 1, -1, -1):
-                a = rec[x - ch] if x >= ch else 0
-                b = prior[x]
-                c = prior[x - ch] if x >= ch else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
+                pred = _png_predict(
+                    rec[x - ch] if x >= ch else 0,
+                    prior[x],
+                    prior[x - ch] if x >= ch else 0,
+                    ftype)
                 enc[x] = (rec[x] - pred) & 0xFF
         lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
         prior = rec
@@ -346,6 +348,8 @@ def decode_image(payload: bytes, deterministic_fake: bool = True) -> np.ndarray:
     full distributed path); ``False`` raises where ``PIL.Image.open``
     would go."""
     import zlib
+    payload = payload or b"\x00"   # NULL column cell: keep the
+    # deterministic byte-fallback contract instead of TypeError
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return decode_png(bytes(payload))
@@ -363,6 +367,7 @@ def decode_audio(payload: bytes,
     flattened int16 samples as float32). Other containers:
     ``deterministic_fake=True`` treats payload bytes as samples;
     ``False`` raises where ``soundfile.read`` would go."""
+    payload = payload or b"\x00"   # NULL column cell: see decode_image
     if payload[:4] == b"RIFF":
         try:
             return decode_wav(bytes(payload))[0].ravel().astype(np.float32)

@@ -333,9 +333,22 @@ def expand_clauses(sent: str) -> list[str]:
                         + expand_clauses(f"{m.group('b')} {vp}"))
         m = _OBJ_CONJ.match(sent)
         if m:
-            head = m.group("head")
-            return (expand_clauses(f"{head} {m.group('b')}")
-                    + expand_clauses(f"{head} {m.group('c')}"))
+            b, c = m.group("b"), m.group("c")
+            # 'X and Y' in object position is ambiguous between a true
+            # conjunction and a single proper name ('Johnson and
+            # Johnson', 'Marks and Spencer'). Split only when the sides
+            # differ AND at least one is multiword — single-token pairs
+            # are exactly the and-bearing-orgname shape, and leaving
+            # them unsplit yields honest silence (the template's _NAME
+            # slot can't span ' and '), never a bogus entity. Subject
+            # position doesn't need this: its split requires a PLURAL
+            # verb, and an and-bearing name conjugates singular
+            # ('Marks and Spencer is based in London').
+            if (normalize_name(b) != normalize_name(c)
+                    and (" " in b or " " in c)):
+                head = m.group("head")
+                return (expand_clauses(f"{head} {b}")
+                        + expand_clauses(f"{head} {c}"))
     if ("ly " in sent or "now " in sent) and _ADVERB.search(sent):
         stripped = _ADVERB.sub("", sent)
         if stripped != sent:
@@ -373,6 +386,11 @@ _TAIL_PRON = re.compile(r"^(?P<head>.+ )(?:her|him|them)$")
 #: definite-NP anaphora: "The company ..." refers to the most recent
 #: org-typed slot in the same episode (recency, like pronouns).
 _DEF_NP = ("The company ", "The firm ", "The organization ")
+#: a bare sentence-leading determiner ("The weather …", "This plan …")
+#: is not a name — it must never become the pronoun antecedent.
+#: Multiword leads ("The Beatles") are real names and stay eligible.
+_DETERMINERS = frozenset({"the", "a", "an", "this", "that", "these",
+                          "those"})
 
 
 def _coord_split(sent: str, patterns) -> list[str] | None:
@@ -526,10 +544,6 @@ def extract_all(content: str, ts: datetime | None,
     antecedent = ""   # most recent sentence-leading non-pronoun name
     antecedent_org = ""   # most recent org-typed slot (definite-NP)
     for raw_sent in sentences(body):
-      if antecedent_org and raw_sent[:1] == "T" \
-              and raw_sent.startswith(_DEF_NP):
-          # "The company is based in X" → "<last org> is based in X"
-          raw_sent = f"{antecedent_org} {raw_sent.split(' ', 2)[2]}"
       if speaker_name and raw_sent.startswith("I "):
           # first person resolves to the speaker (prompts/
           # extract_nodes.py contract), conjugated to 3rd person so the
@@ -543,6 +557,17 @@ def extract_all(content: str, ts: datetime | None,
               # 'Alice' (this subject) land in the same entity
               raw_sent = (f"{speaker_name[:1].upper()}"
                           f"{speaker_name[1:]} {vp}")
+      # pronoun-antecedent recency reads the sentence AS WRITTEN (after
+      # the first-person rewrite — the speaker IS the surface subject —
+      # but BEFORE the definite-NP rewrite: 'The company …' must never
+      # make the org the person-pronoun antecedent; in 'Alice works at
+      # Acme. The company is based in Oslo. She lives in Paris.' She is
+      # Alice, not Acme).
+      ante_src = raw_sent
+      if antecedent_org and raw_sent[:1] == "T" \
+              and raw_sent.startswith(_DEF_NP):
+          # "The company is based in X" → "<last org> is based in X"
+          raw_sent = f"{antecedent_org} {raw_sent.split(' ', 2)[2]}"
       clauses = expand_clauses(raw_sent)   # fresh list; safe to extend
       ci = 0
       while ci < len(clauses):
@@ -610,14 +635,17 @@ def extract_all(content: str, ts: datetime | None,
         })
       # recency update AFTER the sentence is processed, so a pronoun
       # resolves to the PREVIOUS sentence's subject, never its own; a
-      # pronoun-led sentence leaves the antecedent untouched (chains:
-      # "Alice … . She … . She … ." all resolve to Alice). The isupper
-      # guard keeps the all-lowercase hot path (distractor turns) to one
-      # C-level char test.
-      if raw_sent[0].isupper():
-          lm = _LEAD_NAME.match(raw_sent)
-          if lm and normalize_name(lm.group("n")) not in _PRONOUNS:
-              antecedent = clean_text(lm.group("n"))
+      # pronoun-led or determiner-led sentence leaves the antecedent
+      # untouched (chains: "Alice … . She … . She … ." all resolve to
+      # Alice; "The weather …" must not make "The" an antecedent). The
+      # isupper guard keeps the all-lowercase hot path (distractor
+      # turns) to one C-level char test.
+      if ante_src[0].isupper():
+          lm = _LEAD_NAME.match(ante_src)
+          if lm:
+              lead = normalize_name(lm.group("n"))
+              if lead not in _PRONOUNS and lead not in _DETERMINERS:
+                  antecedent = clean_text(lm.group("n"))
     return list(seen.values()), triples
 
 

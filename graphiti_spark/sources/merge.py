@@ -84,10 +84,15 @@ class MergeWriter:
         return os.path.join(self.dir, _POINTER)
 
     def current_version(self) -> int | None:
+        # ONLY a missing pointer means "no snapshot yet". Any other
+        # failure (EIO, EACCES, truncated/corrupt JSON) must raise: if it
+        # were mapped to None, the next merge would treat the table as
+        # empty, commit v1 containing only the micro-batch, and rmtree
+        # the live snapshot dir as a presumed orphan — silent truncation.
         try:
             with open(self._pointer_path()) as f:
                 return int(json.load(f)["version"])
-        except Exception:
+        except FileNotFoundError:
             return None
 
     def read(self) -> DataFrame | None:

@@ -15,11 +15,13 @@ rather than a victory lap. Run: python scripts/exp_templates.py
 """
 
 import json
+import os
 import random
 import sys
 from datetime import datetime, timezone
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 from graphiti_spark import rules  # noqa: E402
 
 TS = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -170,7 +172,7 @@ def main():
     }
     print(json.dumps({k: v for k, v in summary.items()
                       if k != "families"}))
-    with open("/root/repo/BENCH_TEMPLATES.json", "w") as f:
+    with open(os.path.join(REPO, "BENCH_TEMPLATES.json"), "w") as f:
         json.dump(summary, f, indent=1)
 
 

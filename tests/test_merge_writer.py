@@ -136,3 +136,18 @@ def test_incremental_delta_lands_via_merge_equals_rebuild(spark, tmp_path):
     cols = ["uuid", "source_node_uuid", "name", "target_node_uuid"]
     assert _rows(edges_w.read(), cols) == _rows(m_edges, cols)
     assert edges_w.read().count() == m_edges.count()
+
+
+def test_corrupt_pointer_raises_instead_of_empty(spark, tmp_path):
+    # a readable-but-corrupt pointer must raise: mapping it to None
+    # would make the next merge treat the table as empty, commit a
+    # v1 containing only the micro-batch, and GC the live snapshot —
+    # silent truncation. Only a genuinely-missing pointer means "new".
+    w = MergeWriter(spark, str(tmp_path), "t", key_cols=("k",))
+    assert w.current_version() is None
+    w.full(spark.createDataFrame([("a", 1)], "k string, v int"))
+    assert w.current_version() == 1
+    with open(w._pointer_path(), "w") as f:
+        f.write("{ not json")
+    with pytest.raises(ValueError):
+        w.current_version()

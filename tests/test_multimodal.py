@@ -305,3 +305,13 @@ def test_extract_features_uses_real_decode(spark):
     bin_idx = 200 * M.FEATURE_DIM // 256
     assert feat[bin_idx] == pytest.approx(1.0)
     assert sum(abs(v) for i, v in enumerate(feat) if i != bin_idx) == 0
+
+
+def test_decode_null_payload_falls_back_deterministically():
+    # a NULL/empty media cell must keep the deterministic byte-fallback
+    # contract (not TypeError inside the executor batch)
+    for payload in (None, b""):
+        img = M.decode_image(payload)
+        assert img.dtype == np.uint8 and img.shape == (1,)
+        aud = M.decode_audio(payload)
+        assert aud.dtype == np.float32 and aud.shape == (1,)

@@ -546,3 +546,46 @@ def test_definite_np_resolves_to_recent_org():
     # no org antecedent: "The company" stays unresolved, no bogus entity
     m, t = rules.extract_all("user: The company is based in Berlin.", TS)
     assert t == [] and [x["name"] for x in m] == []
+
+
+def test_object_conjunction_guards_and_bearing_names():
+    # single-token 'X and Y' in object position is exactly the
+    # and-bearing-orgname shape ('Marks and Spencer', 'Johnson and
+    # Johnson') — never split into two bogus entities; the unsplit name
+    # can't fill a _NAME slot either, so the result is honest silence,
+    # not a half-extraction
+    m, t = rules.extract_all("user: Alice likes Marks and Spencer.", TS)
+    assert m == [] and t == []
+    m, t = rules.extract_all("user: Alice likes Johnson and Johnson.", TS)
+    assert m == [] and t == []
+    # a multiword side is a genuine conjunction and still splits
+    # (asserted in test_conjoined_subject_and_object_split)
+
+
+def test_pronoun_antecedent_ignores_definite_np_rewrite():
+    # 'The company …' rewrites to the org for ITS OWN extraction, but
+    # the person-pronoun antecedent must read the sentence as written:
+    # She is Alice, not Acme.
+    _, t = rules.extract_all(
+        "user: Alice works at Acme. The company is based in Oslo. "
+        "She lives in Paris.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice", "WORKS_AT", "Acme"), ("Acme", "LIVES_IN", "Oslo"),
+        ("Alice", "LIVES_IN", "Paris")]
+
+
+def test_determiner_led_sentence_is_not_an_antecedent():
+    # a bare determiner lead ('The weather …') is not a name and must
+    # not capture the pronoun antecedent
+    _, t = rules.extract_all(
+        "user: Alice works at Acme. The weather was terrible. "
+        "She lives in Paris.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("Alice", "WORKS_AT", "Acme"), ("Alice", "LIVES_IN", "Paris")]
+    # multiword capitalized leads ('The Beatles') are real names and
+    # stay antecedent-eligible
+    _, t = rules.extract_all(
+        "user: The Beatles moved to London. Alice likes them.", TS)
+    assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
+        ("The Beatles", "LIVES_IN", "London"),
+        ("Alice", "LIKES", "The Beatles")]
