@@ -245,6 +245,47 @@ def _cpu_baseline(widths: list[int], n: int = 30_000_000,
     return out
 
 
+def _copy(n_mb):
+    import numpy as np
+    src = np.ones(n_mb * 131072, dtype=np.float64)   # n_mb MB
+    dst = np.empty_like(src)
+    for _ in range(24):
+        np.copyto(dst, src)
+    return float(dst[0])
+
+
+def _membw_baseline(widths: list[int], n_mb: int = 64,
+                    pin: bool = False) -> dict:
+    """Aggregate memcpy bandwidth (GB/s) at each process count — the
+    MEMORY-SIDE scaling ceiling. The busy-loop baseline measures ALU
+    scaling only; shuffle/Arrow/hash work is bandwidth-bound, and a
+    virtualized host can deliver 2x the ALUs without 2x the memory
+    channels. A pipeline efficiency read against the busy-loop ceiling
+    alone would blame the plan for a wall the DRAM imposes."""
+    import multiprocessing as mp
+    import time as _t
+
+    out = {}
+    full = os.sched_getaffinity(0)
+    for procs in widths:
+        if pin:
+            os.sched_setaffinity(0, set(range(procs)))
+        try:
+            best = 0.0
+            for _ in range(3):
+                t0 = _t.time()
+                with mp.Pool(procs) as p:
+                    p.map(_copy, [n_mb] * procs)
+                # 2x: each copy reads src and writes dst
+                gbps = procs * 24 * 2 * n_mb / 1024 / (_t.time() - t0)
+                best = max(best, gbps)
+            out[str(procs)] = round(best, 1)
+        finally:
+            if pin:
+                os.sched_setaffinity(0, full)
+    return out
+
+
 def scaling(args):
     """Same job at each parallelism level, fresh JVM per run. The sandbox
     shows ~2x run-to-run noise (shared host), so each width runs
@@ -334,18 +375,22 @@ def scaling(args):
     # in exec mode), since that's what the busy-loop pool models.
     core_of = (lambda w: w * 4) if exec_mode else (lambda w: w)
     cpu = _cpu_baseline([core_of(w) for w in widths], pin=args.pin)
+    membw = _membw_baseline([core_of(w) for w in widths], pin=args.pin)
     pair_effs = {}
     for lo_c, hi_c in pairs:
         eff = (results[hi_c]["triples_per_sec"]
                / results[lo_c]["triples_per_sec"]) / (hi_c / lo_c)
         ceiling = (cpu[str(core_of(hi_c))] / cpu[str(core_of(lo_c))]) \
             / (hi_c / lo_c)
+        bw_ceiling = (membw[str(core_of(hi_c))]
+                      / membw[str(core_of(lo_c))]) / (hi_c / lo_c)
         label = (f"{lo_c}x4->{hi_c}x4execs" if exec_mode
                  else f"{lo_c}->{hi_c}")
         pair_effs[label] = {
             "efficiency": round(eff, 3),
             "cpu_baseline_ceiling": round(ceiling, 3),
             "efficiency_vs_ceiling": round(min(eff / ceiling, 9.99), 3),
+            "membw_baseline_ceiling": round(bw_ceiling, 3),
         }
     lo0, hi0 = pairs[0]
     head = (f"{lo0}x4->{hi0}x4execs" if exec_mode else f"{lo0}->{hi0}")
@@ -366,6 +411,7 @@ def scaling(args):
         "pipeline_sf": args.pipeline_sf,
         "pairs": pair_effs,
         "cpu_baseline_mops": cpu,
+        "membw_baseline_gbps": membw,
         **{wlabel(c): results[c] for c in widths},
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

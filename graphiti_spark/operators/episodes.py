@@ -39,10 +39,11 @@ def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
     """Window over (conv_id, turn_idx) → one episode row per turn.
 
     ``include_context`` materializes the previous-3-turns window
-    (EPISODE_WINDOW_LEN); the deterministic extraction rules don't consume
-    it, so the pipeline leaves it off — it triples the episode-row payload
-    that every downstream shuffle and cache carries. Context retrieval for
-    the read path is :func:`retrieve_episodes`.
+    (EPISODE_WINDOW_LEN) for EVERY row; the pipeline leaves it off — it
+    triples the episode-row payload that every downstream shuffle and
+    cache carries — and instead attaches context only where a
+    coreference can consume it, via :func:`hydrate_context`. Context
+    retrieval for the read path is :func:`retrieve_episodes`.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     # EpisodeType routing (``nodes.py:45-70``): an optional `source` column
@@ -58,10 +59,16 @@ def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
                               F.coalesce(F.col("text"), F.lit("")))
     content = F.when(source == "message", msg_content) \
                .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    # The empty fallback is deliberately NON-foldable (an empty slice of
+    # a content-dependent array, not the F.array() literal): a foldable
+    # empty-array argument to a pandas UDF under a Generate trips a
+    # Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in column pruning on
+    # Spark 4.1 (BindReferences: "Could not find turn_idx in
+    # [group_id, m]").
     prev_ctx = (F.collect_list("content")
                  .over(w.rowsBetween(-EPISODE_WINDOW_LEN, -1))
                 if include_context
-                else F.array().cast("array<string>"))
+                else F.slice(F.array(F.col("content")), 1, 0))
     return (
         transcripts
         .withColumn("_source", source)
@@ -82,6 +89,69 @@ def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
             F.col("prev_context"),
         )
     )
+
+
+#: JVM-side superset of "this episode might consume a cross-episode
+#: antecedent": a 3rd-person subject pronoun leading a sentence, or an
+#: object-pronoun tail. The UDF's lazy seeding decides whether the
+#: context is actually used; this predicate only decides whether it is
+#: WORTH SHIPPING — a false positive costs a few prev-turn strings in
+#: one Arrow batch, a false negative would silently drop a resolvable
+#: coreference, so the regexes are deliberately loose supersets of the
+#: rules.py shapes (_COREF_PRONOUNS leads, _PRON_TAILS tails, and the
+#: _ELLIPSIS "does too" form, which seeds its VP the same lazy way).
+def _coref_trigger():
+    # built lazily: Column construction needs an active SparkContext
+    return (F.col("content").rlike(r"(?:^|: |[.!?] )(?:She|He|They) ")
+            | F.col("content").rlike(r" (?:her|him|them|does too)[.!?]"))
+
+
+def hydrate_context(episodes: DataFrame,
+                    window_len: int = EPISODE_WINDOW_LEN) -> DataFrame:
+    """Attach ``prev_context`` (previous ``window_len`` turns, the
+    reference's ``previous_episodes`` window,
+    ``graph_data_operations.py:28,84-135``) to the episodes that might
+    need it — WITHOUT a full-corpus window shuffle.
+
+    The scale design: a per-row window over (conv_id, turn_idx) would
+    shuffle and sort the whole transcript corpus and triple the bytes
+    every downstream stage carries, to serve a feature only
+    pronoun-bearing episodes consume. Instead, episodes matching the
+    cheap JVM-side trigger predicate are ranged-self-joined back to the
+    corpus for exactly their previous turns. The triggered side is
+    proportional to pronoun density, so AQE broadcasts it and the plan
+    stays scan-bound; on a pronoun-free corpus the triggered side is
+    EMPTY and AQE's empty-relation propagation collapses the whole
+    hydration to one filter scan. Correctness does not depend on the
+    trigger (it is a strict superset of what rules.extract_all can
+    consume); only cost does.
+    """
+    trig = episodes.where(_coref_trigger()).select(
+        F.col("uuid").alias("t_uuid"),
+        F.col("group_id").alias("t_gid"),
+        F.col("turn_idx").alias("t_idx"))
+    prev = episodes.select(F.col("group_id").alias("p_gid"),
+                           F.col("turn_idx").alias("p_idx"),
+                           F.col("content").alias("p_content"))
+    ctx = (trig
+           .join(prev, (F.col("t_gid") == F.col("p_gid"))
+                 & (F.col("p_idx") >= F.col("t_idx") - window_len)
+                 & (F.col("p_idx") < F.col("t_idx")))
+           .groupBy("t_uuid")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("p_idx", "p_content"))).alias("s"))
+           .select(F.col("t_uuid").alias("uuid"),
+                   F.col("s.p_content").alias("_hydrated")))
+    if "prev_context" not in episodes.columns:
+        # non-foldable empty array — see assemble_episodes
+        episodes = episodes.withColumn(
+            "prev_context", F.slice(F.array(F.col("content")), 1, 0))
+    out_cols = episodes.columns
+    return (episodes.join(ctx, "uuid", "left")
+            .withColumn("prev_context",
+                        F.coalesce(F.col("_hydrated"),
+                                   F.col("prev_context")))
+            .select(*out_cols))
 
 
 def retrieve_episodes(episodes: DataFrame, reference_time, last_n: int = 10,

@@ -36,11 +36,18 @@ from graphiti_spark.schema import MENTION, TRIPLE
 EMBED_DIM = tx.EMBED_DIM
 
 
+def _pc(pc):
+    """Arrow array cell → prev_context argument (None for empty)."""
+    return None if pc is None or len(pc) == 0 else list(pc)
+
+
 @F.pandas_udf(T.ArrayType(MENTION))
-def extract_mentions_udf(content: pd.Series, source: pd.Series) -> pd.Series:
+def extract_mentions_udf(content: pd.Series, source: pd.Series,
+                         prev_context: pd.Series) -> pd.Series:
     return pd.Series(
-        [rules.extract_mentions(c or "", s or rules.SOURCE_MESSAGE)
-         for c, s in zip(content, source)], dtype=object)
+        [rules.extract_mentions(c or "", s or rules.SOURCE_MESSAGE,
+                                prev_context=_pc(pc))
+         for c, s, pc in zip(content, source, prev_context)], dtype=object)
 
 
 def extract_mentions_udf_for(ontology):
@@ -49,11 +56,13 @@ def extract_mentions_udf_for(ontology):
     excluded types). The ontology object (compiled regexes included)
     pickles into the UDF closure and ships to executors once per stage."""
     @F.pandas_udf(T.ArrayType(MENTION))
-    def _udf(content: pd.Series, source: pd.Series) -> pd.Series:
+    def _udf(content: pd.Series, source: pd.Series,
+             prev_context: pd.Series) -> pd.Series:
         return pd.Series(
             [rules.extract_mentions(c or "", s or rules.SOURCE_MESSAGE,
-                                    ontology)
-             for c, s in zip(content, source)], dtype=object)
+                                    ontology, prev_context=_pc(pc))
+             for c, s, pc in zip(content, source, prev_context)],
+            dtype=object)
     return _udf
 
 
@@ -66,14 +75,20 @@ COMBINED = T.StructType([
 
 
 @F.pandas_udf(COMBINED)
-def extract_all_udf(content: pd.Series, ts: pd.Series,
-                    source: pd.Series) -> pd.DataFrame:
+def extract_all_udf(content: pd.Series, ts: pd.Series, source: pd.Series,
+                    prev_context: pd.Series) -> pd.DataFrame:
+    """``prev_context``: array<string> of previous-episode contents
+    (the reference's ``previous_episodes`` window) — empty/null for the
+    pronoun-free hot path; rules.extract_all consumes it lazily, only
+    when a coref pronoun actually needs a cross-episode antecedent."""
     mentions, triples = [], []
-    for c, t, s in zip(content, ts, source):
+    for c, t, s, pc in zip(content, ts, source, prev_context):
         c = c or ""
         s = s or rules.SOURCE_MESSAGE
         t_aware = None if pd.isna(t) else pd.Timestamp(t).tz_localize("UTC")
-        ms, rows = rules.extract_all(c, t_aware, s)
+        ms, rows = rules.extract_all(
+            c, t_aware, s,
+            prev_context=None if pc is None or len(pc) == 0 else list(pc))
         mentions.append(ms)
         triples.append([
             {**r, "valid_at": _naive_utc(r["valid_at"]),
@@ -93,12 +108,14 @@ def _naive_utc(dt) -> datetime | None:
 
 @F.pandas_udf(T.ArrayType(TRIPLE))
 def extract_triples_udf(content: pd.Series, ts: pd.Series,
-                        source: pd.Series) -> pd.Series:
+                        source: pd.Series,
+                        prev_context: pd.Series) -> pd.Series:
     out = []
-    for c, t, s in zip(content, ts, source):
+    for c, t, s, pc in zip(content, ts, source, prev_context):
         t_aware = None if pd.isna(t) else pd.Timestamp(t).tz_localize("UTC")
         rows = rules.extract_triples(c or "", t_aware,
-                                     s or rules.SOURCE_MESSAGE)
+                                     s or rules.SOURCE_MESSAGE,
+                                     prev_context=_pc(pc))
         out.append([
             {**r, "valid_at": _naive_utc(r["valid_at"]),
              "invalid_at": _naive_utc(r["invalid_at"])}
@@ -112,14 +129,14 @@ def extract_triples_udf_for(ontology):
     :func:`extract_mentions_udf_for`)."""
     @F.pandas_udf(T.ArrayType(TRIPLE))
     def _udf(content: pd.Series, ts: pd.Series,
-             source: pd.Series) -> pd.Series:
+             source: pd.Series, prev_context: pd.Series) -> pd.Series:
         out = []
-        for c, t, s in zip(content, ts, source):
+        for c, t, s, pc in zip(content, ts, source, prev_context):
             t_aware = (None if pd.isna(t)
                        else pd.Timestamp(t).tz_localize("UTC"))
             rows = rules.extract_triples(c or "", t_aware,
                                          s or rules.SOURCE_MESSAGE,
-                                         ontology)
+                                         ontology, prev_context=_pc(pc))
             out.append([
                 {**r, "valid_at": _naive_utc(r["valid_at"]),
                  "invalid_at": _naive_utc(r["invalid_at"])}
@@ -139,6 +156,17 @@ def norm_name_col(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _prev_ctx_col(episodes: DataFrame):
+    """prev_context column if the episodes carry one (assemble_episodes
+    include_context / hydrate_context), else an empty-array literal so
+    the UDF signature stays uniform (null → no cross-episode seeding)."""
+    if "prev_context" in episodes.columns:
+        return F.col("prev_context")
+    # non-foldable empty array (see assemble_episodes: the F.array()
+    # literal as a UDF arg under Generate trips a Catalyst pruning bug)
+    return F.slice(F.array(F.col("content")), 1, 0)
+
+
 def extract_combined(episodes: DataFrame) -> DataFrame:
     """One UDF pass per episode → (episode meta, mentions[], triples[]).
     The pipeline persists THIS and derives both the mentions and raw-edge
@@ -147,7 +175,8 @@ def extract_combined(episodes: DataFrame) -> DataFrame:
             .select("group_id", F.col("uuid").alias("episode_uuid"),
                     "turn_idx", "valid_at",
                     extract_all_udf(F.col("content"), F.col("valid_at"),
-                                    F.col("source")).alias("x")))
+                                    F.col("source"),
+                                    _prev_ctx_col(episodes)).alias("x")))
 
 
 def mentions_from_combined(combined: DataFrame) -> DataFrame:
@@ -183,7 +212,8 @@ def extract_mentions(episodes: DataFrame, ontology=None) -> DataFrame:
            else extract_mentions_udf_for(ontology))
     return (
         episodes
-        .withColumn("m", F.explode(udf(F.col("content"), F.col("source"))))
+        .withColumn("m", F.explode(udf(F.col("content"), F.col("source"),
+                                       _prev_ctx_col(episodes))))
         .select(
             "group_id",
             F.col("uuid").alias("episode_uuid"),
@@ -237,7 +267,8 @@ def extract_edges(episodes: DataFrame, run_ts: datetime,
         episodes
         .withColumn("t", F.explode(udf(F.col("content"),
                                        F.col("valid_at"),
-                                       F.col("source"))))
+                                       F.col("source"),
+                                       _prev_ctx_col(episodes))))
         .select("group_id", F.col("uuid").alias("episode_uuid"), "turn_idx",
                 "t.subj", "t.pred", "t.obj", "t.fact",
                 F.col("t.valid_at").alias("valid_at"),

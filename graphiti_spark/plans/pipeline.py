@@ -154,6 +154,15 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
 
     episodes = stage("episodes",
                      lambda: ep.assemble_episodes(transcripts, run_ts))
+    # Cross-episode coreference context (the reference passes
+    # previous_episodes into every extraction prompt,
+    # graph_data_operations.py:28): hydrated by need — a predicate-pruned
+    # ranged self-join attaches the previous turns ONLY to
+    # pronoun-triggered episodes, so a pronoun-free corpus pays one
+    # filter scan (AQE empty-relation propagation collapses the join)
+    # instead of a full-corpus window shuffle. Derived lazily from the
+    # persisted episodes stage; the episodes OUTPUT table is unchanged.
+    episodes_x = ep.hydrate_context(episodes)
     # ONE combined UDF pass over the episode content, flattened into the
     # mentions and raw-edge tables. (History: round 2 measured the
     # combined pass as a loss — the 'array<struct>' intermediate moved
@@ -167,7 +176,7 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     # the ontology closure).
     if ontology is None:
         combined = stage("extract_combined",
-                         lambda: extract.extract_combined(episodes))
+                         lambda: extract.extract_combined(episodes_x))
         mentions = stage("mentions",
                          lambda: extract.mentions_from_combined(combined),
                          barrier=False)
@@ -177,11 +186,11 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
                           barrier=False)
     else:
         mentions = stage("mentions",
-                         lambda: extract.extract_mentions(episodes,
+                         lambda: extract.extract_mentions(episodes_x,
                                                           ontology=ontology),
                          barrier=False)
         edges_raw = stage("edges_raw",
-                          lambda: extract.extract_edges(episodes, run_ts,
+                          lambda: extract.extract_edges(episodes_x, run_ts,
                                                         ontology=ontology),
                           barrier=False)
 

@@ -1232,6 +1232,60 @@ SELECT * FROM (VALUES
 """
 
 
+def q_kg_context_coref(spark, sf_dir):
+    """Round-4d cross-episode layer: hydrate_context (predicate-pruned
+    ranged self-join — the Spark analogue of the reference's
+    previous_episodes window, graph_data_operations.py:28,84-135)
+    feeding the real distributed extraction UDF. Covers: cross-episode
+    subject pronoun, object-pronoun tail, first-person antecedent
+    ("I ..." in a previous turn seeds that turn's speaker), VP ellipsis
+    ("does too") both in-episode and cross-episode, window bound
+    (a name 4 turns back is OUT of reach), and conversation isolation.
+    The oracle states every expected triple closed-form."""
+    from graphiti_spark.operators.episodes import (assemble_episodes,
+                                                   hydrate_context)
+    from graphiti_spark.operators.extract import extract_edges
+    ts0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("x1", 0, "user", "Carol Moss lives in Oslo.", None, ts0),
+        ("x1", 1, "user", "She works at Globex.", None, ts0),
+        ("x1", 2, "user", "Acme Corp employs her.", None, ts0),
+        ("x2", 0, "carol", "I live in Lisbon.", None, ts0),
+        ("x2", 1, "user", "She works at Initech.", None, ts0),
+        ("x3", 0, "user", "Alice Chen works at Hooli.", None, ts0),
+        ("x3", 1, "bob", "Dana Kim does too.", None, ts0),
+        # window bound: the antecedent is 4 turns back -> out of reach
+        ("x4", 0, "user", "Erin Patel lives in Paris.", None, ts0),
+        ("x4", 1, "user", "nothing here.", None, ts0),
+        ("x4", 2, "user", "nothing here either.", None, ts0),
+        ("x4", 3, "user", "still nothing.", None, ts0),
+        ("x4", 4, "user", "She works at Umbrella Labs.", None, ts0),
+        # conversation isolation: no antecedent inside x5
+        ("x5", 0, "user", "He works at Globex.", None, ts0),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    eps = hydrate_context(assemble_episodes(tr, RUN_TS))
+    raw = extract_edges(eps, RUN_TS)
+    return raw.select(F.col("group_id").alias("conv_id"), "turn_idx",
+                      "subj", "pred", "obj")
+
+
+SQL_KG_CONTEXT_COREF = """
+SELECT * FROM (VALUES
+  ('x1', 0, 'Carol Moss', 'LIVES_IN', 'Oslo'),
+  ('x1', 1, 'Carol Moss', 'WORKS_AT', 'Globex'),
+  ('x1', 2, 'Carol Moss', 'WORKS_AT', 'Acme Corp'),
+  ('x2', 0, 'Carol',      'LIVES_IN', 'Lisbon'),
+  ('x2', 1, 'Carol',      'WORKS_AT', 'Initech'),
+  ('x3', 0, 'Alice Chen', 'WORKS_AT', 'Hooli'),
+  ('x3', 1, 'Dana Kim',   'WORKS_AT', 'Hooli'),
+  ('x4', 0, 'Erin Patel', 'LIVES_IN', 'Paris')
+) AS t(conv_id, turn_idx, subj, pred, obj)
+"""
+
+
 def q_kg_mentions(spark, sf_dir):
     """E1 mention extraction through the real vectorized UDF (speaker-first,
     generic speakers skipped, per-episode dedup)."""
@@ -2161,6 +2215,7 @@ QUERIES = {
     "composite_search": q_composite_search,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_anaphora": q_kg_anaphora,
+    "kg_context_coref": q_kg_context_coref,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
     "kg_fact_dates": q_kg_fact_dates,
@@ -2214,6 +2269,7 @@ ORACLES = {
     "composite_search": SQL_COMPOSITE_SEARCH,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_anaphora": SQL_KG_ANAPHORA,
+    "kg_context_coref": SQL_KG_CONTEXT_COREF,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
     "kg_fact_dates": SQL_KG_FACT_DATES,

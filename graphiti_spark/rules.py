@@ -370,9 +370,13 @@ _GENERIC_SPEAKERS = frozenset({"user", "assistant", "tool", "system"})
 #: prompt contract. A pronoun with no available antecedent stays
 #: unresolved: the matched template yields neither that mention nor a
 #: triple. Measured by the pronoun_coref / first_person_speaker families
-#: in scripts/exp_templates.py; cross-EPISODE antecedents remain a
-#: disclosed residual (cross_episode_coref) — episodes are the
-#: extraction unit, so there is no prior sentence to look at.
+#: in scripts/exp_templates.py. Cross-EPISODE antecedents resolve
+#: through ``prev_context`` (the previous-turns window the reference
+#: passes to every extraction prompt as ``previous_episodes``,
+#: graph_data_operations.py:28 / prompts/extract_nodes.py) — seeded
+#: LAZILY, only at the moment a pronoun actually needs an antecedent
+#: and the episode itself has provided none, so pronoun-free content
+#: never pays for it.
 _PRONOUNS = frozenset({"she", "he", "they", "it", "we", "i", "you",
                        "her", "him", "them", "his", "hers", "its"})
 #: the resolvable-by-recency subset: 3rd-person personal pronouns.
@@ -391,6 +395,61 @@ _DEF_NP = ("The company ", "The firm ", "The organization ")
 #: Multiword leads ("The Beatles") are real names and stay eligible.
 _DETERMINERS = frozenset({"the", "a", "an", "this", "that", "these",
                           "those"})
+#: VP ellipsis with do-support: "Dana Kim does too." copies the verb
+#: phrase of the most recent clause whose surface subject LED the
+#: clause (textual copy — the only deterministic reading), giving the
+#: new subject the same predicate and object. No prior VP → no match →
+#: honest silence, never a bogus entity.
+_ELLIPSIS = re.compile(rf"^(?P<n>{_NAME}) does too$")
+#: object-pronoun tails, cheap C-level pre-gate for _TAIL_PRON
+_PRON_TAILS = (" her", " him", " them")
+
+
+def _seed_antecedent(prev_context) -> str:
+    """Most recent sentence-leading resolvable name across the previous
+    episodes (newest episode first, last sentence first) — the
+    cross-episode extension of the in-episode recency rule, mirroring
+    the reference's ``previous_episodes`` prompt context
+    (prompts/extract_nodes.py / extract_edges.py pass the prior-turns
+    window to the LLM precisely so references like this resolve).
+    First-person sentences resolve to their own episode's (non-generic)
+    speaker, same as the in-episode rule. Called lazily, at most once
+    per episode, and only when a pronoun is actually waiting."""
+    for content in reversed(prev_context):
+        speaker, body = split_speaker(content or "")
+        speaker_name = ("" if not speaker
+                        or speaker.lower() in _GENERIC_SPEAKERS
+                        else clean_text(speaker))
+        for sent in reversed(sentences(body)):
+            if not sent[:1].isupper():
+                continue
+            if speaker_name and sent.startswith("I "):
+                return (f"{speaker_name[:1].upper()}{speaker_name[1:]}")
+            lm = _LEAD_NAME.match(sent)
+            if lm:
+                lead = normalize_name(lm.group("n"))
+                if lead not in _PRONOUNS and lead not in _DETERMINERS:
+                    return clean_text(lm.group("n"))
+    return ""
+
+
+def _seed_vp(prev_context, patterns) -> str:
+    """Cross-episode VP for do-support ellipsis: the verb phrase of the
+    most recent subject-led template-matched sentence in the previous
+    episodes (newest first, last sentence first) — so "bob: Dana Kim
+    does too." after "alice: Erin Patel works at Initech." recovers
+    ``works at Initech``, mirroring what the reference LLM reads off
+    its ``previous_episodes`` window. Lazy: called at most once per
+    episode, only when an ellipsis sentence has no in-episode VP."""
+    for content in reversed(prev_context):
+        _speaker, body = split_speaker(content or "")
+        for sent in reversed(sentences(body)):
+            if not sent[:1].isupper():
+                continue
+            hit = _match_templates(sent, patterns)
+            if hit is not None and hit[0].start("a") == 0:
+                return sent[hit[0].end("a"):].lstrip()
+    return ""
 
 
 def _coord_split(sent: str, patterns) -> list[str] | None:
@@ -461,7 +520,8 @@ def parse_json_episode(content: str) -> tuple[str | None, list[tuple[str, str]]]
 def extract_all(content: str, ts: datetime | None,
                 source: str = SOURCE_MESSAGE,
                 ontology=None, want_mentions: bool = True,
-                want_triples: bool = True) -> tuple[list[dict], list[dict]]:
+                want_triples: bool = True,
+                prev_context=None) -> tuple[list[dict], list[dict]]:
     """content + episode ts -> (mentions, triples) in ONE pass.
 
     Mentions: deterministic stand-in for ``extract_nodes``
@@ -494,6 +554,15 @@ def extract_all(content: str, ts: datetime | None,
     thin wrappers below, used on the custom-ontology two-pass path) skip
     BUILDING the unused half; the matcher work is shared either way, and
     the flags never change what the wanted half contains.
+
+    ``prev_context`` (list of previous-episode contents, oldest→newest —
+    the reference's ``previous_episodes`` window,
+    graph_data_operations.py:28) extends pronoun recency across episode
+    boundaries: when a coref pronoun is reached and the episode itself
+    has produced no antecedent yet, the antecedent is seeded from the
+    previous episodes (see :func:`_seed_antecedent`). The seed is
+    evaluated lazily and at most once, so pronoun-free episodes never
+    touch it.
     """
     patterns = None if ontology is None else ontology.patterns
     excluded = (frozenset() if ontology is None
@@ -543,6 +612,14 @@ def extract_all(content: str, ts: datetime | None,
         speaker_name = clean_text(speaker)
     antecedent = ""   # most recent sentence-leading non-pronoun name
     antecedent_org = ""   # most recent org-typed slot (definite-NP)
+    last_vp = ""      # VP of the last subject-led matched clause
+    # lazy cross-episode seeding (inlined at the three consumption
+    # sites, not a closure — a nonlocal cell would slow every hot-path
+    # read of `antecedent`): runs at most once per episode, and only
+    # when a pronoun is consumed before any in-episode antecedent
+    # exists, so pronoun-free content never touches prev_context.
+    prev_unseeded = bool(prev_context)   # cross-episode seed available
+    vp_unseeded = bool(prev_context)     # ditto, for VP ellipsis
     for raw_sent in sentences(body):
       if speaker_name and raw_sent.startswith("I "):
           # first person resolves to the speaker (prompts/
@@ -573,10 +650,31 @@ def extract_all(content: str, ts: datetime | None,
       while ci < len(clauses):
         sent = clauses[ci]
         ci += 1
-        if antecedent and sent[-1] in "rm":   # her/him/them tail, cheap
-            om = _TAIL_PRON.match(sent)
-            if om:
-                sent = f"{om.group('head')}{antecedent}"
+        # dispatch on the last char first — one C-level test keeps the
+        # hot path (sentences ending in anything else) to a dict-free
+        # two-comparison fall-through
+        tail = sent[-1]
+        if tail == "r" or tail == "m":
+            if sent.endswith(_PRON_TAILS):   # her/him/them object tail
+                om = _TAIL_PRON.match(sent)
+                if om:
+                    if not antecedent and prev_unseeded:
+                        prev_unseeded = False
+                        antecedent = _seed_antecedent(prev_context)
+                    if antecedent:
+                        sent = f"{om.group('head')}{antecedent}"
+        elif tail == "o" and (last_vp or vp_unseeded) \
+                and sent.endswith(" too"):
+            # VP ellipsis: "Dana Kim does too" → "Dana Kim <last VP>";
+            # no in-episode VP → seed (at most once) from the previous
+            # episodes, mirroring the antecedent seeding above
+            em = _ELLIPSIS.match(sent)
+            if em:
+                if not last_vp:
+                    vp_unseeded = False
+                    last_vp = _seed_vp(prev_context, patterns)
+                if last_vp:
+                    sent = f"{em.group('n')} {last_vp}"
         hit = _match_templates(sent, patterns)
         if hit is None:
             # isupper first: it rejects lowercase distractor turns with
@@ -588,11 +686,21 @@ def extract_all(content: str, ts: datetime | None,
             continue
         m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
         a_name, b_name = m.group("a"), m.group("b")
+        if m.start("a") == 0:
+            # subject-led clause: remember the surface VP so a later
+            # "<Name> does too" can copy it (do-support ellipsis)
+            last_vp = sent[m.end("a"):].lstrip()
         a_norm, b_norm = normalize_name(a_name), normalize_name(b_name)
-        if a_norm in _PRONOUNS:
-            a_name = antecedent if a_norm in _COREF_PRONOUNS else ""
-        if b_norm in _PRONOUNS:
-            b_name = antecedent if b_norm in _COREF_PRONOUNS else ""
+        if a_norm in _PRONOUNS or b_norm in _PRONOUNS:
+            if (not antecedent and prev_unseeded
+                    and (a_norm in _COREF_PRONOUNS
+                         or b_norm in _COREF_PRONOUNS)):
+                prev_unseeded = False
+                antecedent = _seed_antecedent(prev_context)
+            if a_norm in _PRONOUNS:
+                a_name = antecedent if a_norm in _COREF_PRONOUNS else ""
+            if b_norm in _PRONOUNS:
+                b_name = antecedent if b_norm in _COREF_PRONOUNS else ""
         if a_name:
             add(a_name, t_a)
             if t_a == TYPE_ORG:
@@ -650,19 +758,19 @@ def extract_all(content: str, ts: datetime | None,
 
 
 def extract_mentions(content: str, source: str = SOURCE_MESSAGE,
-                     ontology=None) -> list[dict]:
+                     ontology=None, prev_context=None) -> list[dict]:
     """Mentions half of :func:`extract_all` (kept for single-output
     callers; the pipeline UDF uses extract_all directly)."""
     return extract_all(content, None, source, ontology,
-                       want_triples=False)[0]
+                       want_triples=False, prev_context=prev_context)[0]
 
 
 def extract_triples(content: str, ts: datetime | None,
                     source: str = SOURCE_MESSAGE,
-                    ontology=None) -> list[dict]:
+                    ontology=None, prev_context=None) -> list[dict]:
     """Triples half of :func:`extract_all`."""
     return extract_all(content, ts, source, ontology,
-                       want_mentions=False)[1]
+                       want_mentions=False, prev_context=prev_context)[1]
 
 
 # ---------------------------------------------------------------------------

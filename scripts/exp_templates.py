@@ -109,18 +109,50 @@ FAMILIES = {
         lambda p, o, c, y: (f"{p} works at {o} and Dana Kim lives in {c}.",
                             {(p, "WORKS_AT", o),
                              ("Dana Kim", "LIVES_IN", c)})),
-    # residual, deliberately uncovered — the honest risk number. These
-    # need machinery the per-episode deterministic extractor genuinely
-    # lacks: an antecedent in a PREVIOUS episode (episodes are the
-    # extraction unit, there is no prior sentence to look at), and
-    # verb-phrase ellipsis (recovering the elided predicate is semantic
-    # inference, not pattern matching).
-    "cross_episode_coref": (
-        lambda p, o, c, y: (f"She works at {o}.", {(p, "WORKS_AT", o)})),
+    # round-4d: the former residuals, now covered — in-episode VP
+    # ellipsis copies the last subject-led matched VP textually
+    # (rules._ELLIPSIS), and cross-episode antecedents resolve through
+    # prev_context (the reference's previous_episodes window), seeded
+    # lazily only when a pronoun is actually waiting. Cross-episode
+    # renders live in PREV_FAMILIES below (they need a previous episode).
     "ellipsis_too": (
         lambda p, o, c, y: (f"{p} works at {o}. Dana Kim does too.",
                             {(p, "WORKS_AT", o),
                              ("Dana Kim", "WORKS_AT", o)})),
+    # residual, deliberately uncovered — the honest risk number. These
+    # need machinery the deterministic extractor genuinely lacks:
+    # cataphora (the pronoun PRECEDES its antecedent — recency looks the
+    # wrong way, and resolving forward would need confidence the next
+    # name is coreferent, i.e. semantic inference), and verbless
+    # headline apposition (no verb anywhere for a template to anchor).
+    "cataphora": (
+        lambda p, o, c, y: (f"She works at {o}. {p} loves that job.",
+                            {(p, "WORKS_AT", o)})),
+    "headline_apposition": (
+        lambda p, o, c, y: (f"{p} — new CEO of {o}.",
+                            {(p, "CEO_OF", o)})),
+}
+
+# family → (render -> (content, prev_contents, gold)): constructions whose
+# antecedent lives in a PREVIOUS episode — exercised through the same
+# prev_context parameter the pipeline's hydrate_context populates.
+PREV_FAMILIES = {
+    "cross_episode_coref": (
+        lambda p, o, c, y: (f"She works at {o}.",
+                            [f"user: {p} relocated to {c}."],
+                            {(p, "WORKS_AT", o)})),
+    "cross_episode_object": (
+        lambda p, o, c, y: (f"{o} employs her.",
+                            [f"user: {p} relocated to {c}."],
+                            {(p, "WORKS_AT", o)})),
+    "cross_episode_ellipsis": (
+        lambda p, o, c, y: ("Dana Kim does too.",
+                            [f"user: {p} works at {o}."],
+                            {("Dana Kim", "WORKS_AT", o)})),
+    "cross_episode_first_person": (
+        lambda p, o, c, y: (f"She lives in {c}.",
+                            [f"{p.split()[0].lower()}: I work at {o}."],
+                            {(p.split()[0].capitalize(), "LIVES_IN", c)})),
 }
 
 # families where the SPEAKER is part of the construction: render returns
@@ -136,17 +168,23 @@ N_PER_FAMILY = 200
 
 def main():
     report = {}
-    all_families = {**{f: (r, False) for f, r in FAMILIES.items()},
-                    **{f: (r, True) for f, r in CONTENT_FAMILIES.items()}}
-    for fam, (render, is_content) in all_families.items():
+    all_families = {**{f: (r, "wrap") for f, r in FAMILIES.items()},
+                    **{f: (r, "content") for f, r in
+                       CONTENT_FAMILIES.items()},
+                    **{f: (r, "prev") for f, r in PREV_FAMILIES.items()}}
+    for fam, (render, kind) in all_families.items():
         tp = fp = fn = 0
         for _ in range(N_PER_FAMILY):
             p = f"{RNG.choice(FIRST)} {RNG.choice(LAST)}"
             o, c, y = RNG.choice(ORGS), RNG.choice(CITIES), RNG.randint(
                 1980, 2020)
-            sent, gold = render(p, o, c, y)
-            content = sent if is_content else f"user: {sent}"
-            _, triples = rules.extract_all(content, TS)
+            prev = None
+            if kind == "prev":
+                sent, prev, gold = render(p, o, c, y)
+            else:
+                sent, gold = render(p, o, c, y)
+            content = sent if kind == "content" else f"user: {sent}"
+            _, triples = rules.extract_all(content, TS, prev_context=prev)
             got = {(t["subj"], t["pred"], t["obj"]) for t in triples}
             tp += len(got & gold)
             fp += len(got - gold)

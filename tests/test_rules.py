@@ -589,3 +589,82 @@ def test_determiner_led_sentence_is_not_an_antecedent():
     assert [(x["subj"], x["pred"], x["obj"]) for x in t] == [
         ("The Beatles", "LIVES_IN", "London"),
         ("Alice", "LIKES", "The Beatles")]
+
+
+def _t3(content, prev=None):
+    _, t = rules.extract_all(content, TS, prev_context=prev)
+    return [(x["subj"], x["pred"], x["obj"]) for x in t]
+
+
+def test_vp_ellipsis_copies_last_subject_led_vp():
+    # "does too" copies the VP of the last subject-led matched clause
+    assert _t3("user: Alice Chen works at Acme Corp. Dana Kim does "
+               "too.") == [("Alice Chen", "WORKS_AT", "Acme Corp"),
+                           ("Dana Kim", "WORKS_AT", "Acme Corp")]
+    # no prior VP anywhere -> honest silence, no bogus entity
+    assert _t3("user: Dana Kim does too.") == []
+    # the VP must come from a SUBJECT-led clause: a passive's surface
+    # lead is the object, so its VP is never copied
+    assert _t3("user: Acme Corp was founded by Bo Li in 1999. Dana Kim "
+               "does too.") == [("Bo Li", "FOUNDED", "Acme Corp")]
+
+
+def test_cross_episode_pronoun_subject():
+    prev = ["user: Carol Moss lives in Oslo."]
+    assert _t3("user: She works at Globex.", prev) == [
+        ("Carol Moss", "WORKS_AT", "Globex")]
+    # newest previous episode wins
+    prev2 = ["user: Alice Chen lives in Paris.",
+             "user: Carol Moss lives in Oslo."]
+    assert _t3("user: She works at Globex.", prev2) == [
+        ("Carol Moss", "WORKS_AT", "Globex")]
+    # pronoun-led / determiner-led previous sentences are skipped
+    prev3 = ["user: Carol Moss lives in Oslo. She likes Tofu. "
+             "The weather was bad."]
+    assert _t3("user: She works at Globex.", prev3) == [
+        ("Carol Moss", "WORKS_AT", "Globex")]
+    # in-episode antecedent always beats the cross-episode seed
+    assert _t3("user: Alice Chen joined. She works at Globex.", prev) \
+        == [("Alice Chen", "WORKS_AT", "Globex")]
+    # nothing resolvable in prev -> silence
+    assert _t3("user: She works at Globex.",
+               ["user: the weather was bad."]) == []
+
+
+def test_cross_episode_pronoun_object_tail():
+    prev = ["user: Carol Moss lives in Oslo."]
+    assert _t3("user: Acme Corp employs her.", prev) == [
+        ("Carol Moss", "WORKS_AT", "Acme Corp")]
+
+
+def test_cross_episode_first_person_prev_resolves_to_its_speaker():
+    # an "I ..." sentence in a previous episode seeds the antecedent
+    # with THAT episode's (non-generic) speaker
+    assert _t3("user: She works at Globex.",
+               ["carol: I live in Oslo."]) == [
+        ("Carol", "WORKS_AT", "Globex")]
+    # generic speakers never become antecedents
+    assert _t3("user: She works at Globex.",
+               ["user: I live in Oslo."]) == []
+
+
+def test_cross_episode_vp_ellipsis():
+    assert _t3("user: Dana Kim does too.",
+               ["user: Alice Chen works at Initech."]) == [
+        ("Dana Kim", "WORKS_AT", "Initech")]
+    # in-episode VP beats the cross-episode one
+    assert _t3("user: Bo Ray works at Hooli. Dana Kim does too.",
+               ["user: Alice Chen works at Initech."]) == [
+        ("Bo Ray", "WORKS_AT", "Hooli"),
+        ("Dana Kim", "WORKS_AT", "Hooli")]
+    # no matching clause in prev -> silence
+    assert _t3("user: Dana Kim does too.",
+               ["user: the weather was bad."]) == []
+
+
+def test_prev_context_is_inert_without_pronouns():
+    # pronoun-free content must produce identical output with and
+    # without context (the lazy seed is never evaluated)
+    content = "user: Alice Chen works at Acme Corp. Bob Ray likes Tea."
+    assert _t3(content) == _t3(content, ["user: Carol Moss lives in "
+                                         "Oslo."])
