@@ -18,6 +18,7 @@ Everything is JVM-side column expressions (whole-stage codegen; no Python).
 
 from __future__ import annotations
 
+import re
 from datetime import datetime
 
 from pyspark.sql import DataFrame, Window
@@ -92,18 +93,34 @@ def assemble_episodes(transcripts: DataFrame, run_ts: datetime,
 
 
 #: JVM-side superset of "this episode might consume a cross-episode
-#: antecedent": a 3rd-person subject pronoun leading a sentence, or an
-#: object-pronoun tail. The UDF's lazy seeding decides whether the
-#: context is actually used; this predicate only decides whether it is
-#: WORTH SHIPPING — a false positive costs a few prev-turn strings in
-#: one Arrow batch, a false negative would silently drop a resolvable
-#: coreference, so the regexes are deliberately loose supersets of the
-#: rules.py shapes (_COREF_PRONOUNS leads, _PRON_TAILS tails, and the
-#: _ELLIPSIS "does too" form, which seeds its VP the same lazy way).
+#: antecedent". The UDF's lazy seeding decides whether the context is
+#: actually used; this predicate only decides whether it is WORTH
+#: SHIPPING — a false positive costs a few prev-turn strings in one
+#: Arrow batch, a false negative would silently drop a resolvable
+#: coreference. So the pattern is a deliberately loose word-boundary
+#: superset of every consumable shape in rules.extract_all: a
+#: capitalized _COREF_PRONOUNS form in EITHER template slot (She/He/
+#: They/Her/Him/Them — _NAME accepts any capitalized token, so object
+#: slots consume too), a lowercase object-pronoun tail (her/him/them —
+#: clause splitting can leave the tail mid-content, so no punctuation
+#: anchor), and the _ELLIPSIS "does too" form, which seeds its VP the
+#: same lazy way. Anchored variants (": She ", " her.") were measured
+#: to miss punctuation-less and newline-split shapes the rules resolve
+#: — tests/test_rules.py::test_trigger_is_superset_of_consumable holds
+#: the superset property against randomized compositions. The same
+#: string drives the Spark rlike (Java regex) and the Python twin
+#: below; it uses only the dialect-shared subset (\b, alternation).
+COREF_TRIGGER_PATTERN = \
+    r"\b(?:She|He|They|Her|Him|Them|her|him|them|does too)\b"
+
+#: Python twin of the JVM trigger, for tests and pure-Python callers:
+#: True if rules.extract_all COULD consume prev_context for `content`.
+might_consume_context = re.compile(COREF_TRIGGER_PATTERN).search
+
+
 def _coref_trigger():
     # built lazily: Column construction needs an active SparkContext
-    return (F.col("content").rlike(r"(?:^|: |[.!?] )(?:She|He|They) ")
-            | F.col("content").rlike(r" (?:her|him|them|does too)[.!?]"))
+    return F.col("content").rlike(COREF_TRIGGER_PATTERN)
 
 
 def hydrate_context(episodes: DataFrame,

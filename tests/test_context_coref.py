@@ -102,3 +102,20 @@ def test_pipeline_consumes_cross_episode_context(spark):
     ents = {r.name: r.uuid for r in g.entities.collect()}
     assert (ents["Carol Moss"], "WORKS_AT", ents["Globex"]) in edges
     assert (ents["Carol Moss"], "LIVES_IN", ents["Oslo"]) in edges
+
+
+def test_hydrate_resolves_punctuationless_tails(spark):
+    # regression: consumable shapes with no terminal punctuation must
+    # still trigger hydration (the first trigger draft anchored on
+    # [.!?] and silently dropped these in the distributed path)
+    rows = [
+        ("c1", 0, "user", "Carol Moss lives in Oslo.", None, TS0),
+        ("c1", 1, "user", "Acme Corp employs her", None, TS0),
+        ("c2", 0, "user", "Alice Chen works at Initech.", None, TS0),
+        ("c2", 1, "user", "Dana Kim does too", None, TS0),
+    ]
+    tr = spark.createDataFrame(rows, SCHEMA)
+    eps = hydrate_context(assemble_episodes(tr, TS0))
+    got = _triples(extract_edges(eps, TS0))
+    assert ("c1", 1, "Carol Moss", "WORKS_AT", "Acme Corp") in got
+    assert ("c2", 1, "Dana Kim", "WORKS_AT", "Initech") in got

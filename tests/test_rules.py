@@ -668,3 +668,52 @@ def test_prev_context_is_inert_without_pronouns():
     content = "user: Alice Chen works at Acme Corp. Bob Ray likes Tea."
     assert _t3(content) == _t3(content, ["user: Carol Moss lives in "
                                          "Oslo."])
+
+
+def test_trigger_is_superset_of_consumable():
+    """The hydration trigger must fire for EVERY content where
+    prev_context changes the extraction output (a trigger false
+    negative silently drops a resolvable coreference in the
+    distributed path; a false positive only ships a few strings).
+    Randomized compositions cover the shapes the first trigger draft
+    missed: punctuation-less tails/ellipsis, newline sentence splits,
+    colon-adjacent pronouns, capitalized object-slot pronouns,
+    coordination."""
+    import random
+    from graphiti_spark.operators.episodes import might_consume_context
+
+    rng = random.Random(42)
+    prev = ["user: Carol Moss works at Initech."]
+    heads = ["user: ", "user:", "bob : ", ""]
+    leads = ["", "ok.\n", "Wow! ", "hello there. ", "Alice Chen joined. "]
+    cores = [
+        "She works at Globex", "He lives in Oslo", "They work at Hooli",
+        "Acme Corp employs her", "Globex hired him", "Initech employs them",
+        "Dana Kim does too", "Alice Chen likes Her", "Bo Ray likes Them",
+        "Erin Patel works at Acme Corp",      # pronoun-free control
+        "the weather was bad",                # non-parsing control
+    ]
+    tails = ["", ".", "!", " and Bo Li lives in Paris.", "\nmore text."]
+    for _ in range(400):
+        content = (rng.choice(heads) + rng.choice(leads)
+                   + rng.choice(cores) + rng.choice(tails))
+        base = rules.extract_all(content, TS)
+        with_ctx = rules.extract_all(content, TS, prev_context=prev)
+        if base != with_ctx:
+            assert might_consume_context(content), (
+                f"trigger false negative: {content!r} consumes context "
+                f"({base} != {with_ctx}) but does not trigger hydration")
+
+
+def test_trigger_consumable_shapes_without_punctuation():
+    # the exact shapes the first trigger draft missed (regression)
+    from graphiti_spark.operators.episodes import might_consume_context
+    prev = ["user: Carol Moss lives in Oslo."]
+    assert _t3("user: Acme Corp employs her", prev) == [
+        ("Carol Moss", "WORKS_AT", "Acme Corp")]
+    assert might_consume_context("user: Acme Corp employs her")
+    assert might_consume_context("user: Dana Kim does too")
+    assert might_consume_context("user: ok.\nShe works at Globex.")
+    # pronoun-free content stays un-triggered (the pruning claim)
+    assert not might_consume_context(
+        "user: Alice Chen works at Acme Corp. Bob Ray likes Tea.")
