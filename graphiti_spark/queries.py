@@ -981,6 +981,48 @@ def q_composite_search(spark, sf_dir):
     return out
 
 
+def q_served_search(spark, sf_dir):
+    """The SERVING twin of `composite_search` (graphiti_spark/serving.py):
+    the same four layer slices are snapshotted into a ServedGraph
+    (inverted token index + embedding matrix, the exported point-lookup
+    form of the pipeline's tables — the reference's "indexed store"
+    answering sub-second, README.md:97) and the SAME
+    COMBINED_HYBRID_SEARCH_RRF query is answered from memory. The result
+    is converted back to a DataFrame and checked against the IDENTICAL
+    DuckDB oracle as the Spark plan — so interactive serving is proven to
+    be the same search, not a lookalike."""
+    from graphiti_spark.operators.composite_search import (
+        COMBINED_HYBRID_SEARCH_RRF)
+    from graphiti_spark.serving import ServedGraph
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    de = (d.join(e, d["doc_id"] == e["vec_id"])
+          .select(F.col("doc_id").alias("uuid"), "text", "embedding"))
+    qvec = [float(x) for x in
+            e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    def slice_(k, text_alias, emb_alias=None):
+        cols = [F.col("uuid"), F.col("text").alias(text_alias)]
+        if emb_alias:
+            cols.append(F.col("embedding").alias(emb_alias))
+        return de.where(F.col("uuid") % 4 == k).select(*cols)
+
+    sg = ServedGraph.from_spark(
+        edges=slice_(0, "fact", "fact_embedding"),
+        nodes=slice_(1, "name", "name_embedding"),
+        episodes=slice_(2, "content"),
+        communities=slice_(3, "summary", "name_embedding"))
+    res = sg.search("spark window agg", qvec, COMBINED_HYBRID_SEARCH_RRF)
+    import pandas as pd
+    parts = [pdf.assign(layer=tag)[["layer", "uuid", "score"]]
+             for tag, pdf in [("edge", res.edges), ("node", res.nodes),
+                              ("episode", res.episodes),
+                              ("community", res.communities)]]
+    out = pd.concat(parts, ignore_index=True)
+    return spark.createDataFrame(
+        out, "layer string, uuid long, score double")
+
+
 def _composite_layer_sql(k: int, tag: str, with_cosine: bool) -> str:
     """One layer of SQL_COMPOSITE_SEARCH: bm25 (and cosine) top-20 lists →
     1-based (score DESC, uuid) ranks → RRF 1/rank fuse → top-10."""
@@ -1283,6 +1325,70 @@ SELECT * FROM (VALUES
   ('x3', 1, 'Dana Kim',   'WORKS_AT', 'Hooli'),
   ('x4', 0, 'Erin Patel', 'LIVES_IN', 'Paris')
 ) AS t(conv_id, turn_idx, subj, pred, obj)
+"""
+
+
+def q_kg_speech_acts(spark, sf_dir):
+    """Round-4e speech-act + residual-closure layer through the REAL
+    distributed extraction UDFs: questions and irrealis leads (If/Maybe/…)
+    mention entities but assert NOTHING (the reference's edge prompt
+    extracts only "factual information", prompts/extract_edges.py:95-104),
+    an unasserted VP is not ellipsis-copyable, discourse leads
+    (Reportedly/…) strip-and-assert, cataphora resolves forward when
+    recency and the cross-episode seed are both empty, verbless headline
+    apposition normalizes to the copular template, and relative temporal
+    adjuncts ("since last year") resolve against the episode timestamp
+    (prompts/extract_edge_dates.py:66-81). The oracle states every
+    expected triple — including each valid_at — closed-form; the
+    no-assert cases are proven by ABSENCE (an emitted row breaks the
+    row-count and hash gates)."""
+    from graphiti_spark.operators.episodes import (assemble_episodes,
+                                                   hydrate_context)
+    from graphiti_spark.operators.extract import extract_edges
+    ts0 = datetime(2024, 3, 15, tzinfo=timezone.utc)
+    rows = [
+        # question: mentions survive, the fact does not
+        ("s1", 0, "user", "Alice Chen works at Globex?", None, ts0),
+        # question + declarative in one episode: only the statement lands
+        ("s1", 1, "user", "Does she know? Bob Reyes works at Hooli.",
+         None, ts0),
+        # irrealis lead: no fact; its VP must not be ellipsis-copyable
+        ("s2", 0, "user", "Maybe Carol Moss works at Initech. "
+                          "Erin Patel does too.", None, ts0),
+        # discourse/evidential lead: strip the adverb, assert the fact
+        ("s3", 0, "user", "Reportedly, Frank Woo works at Acme Corp.",
+         None, ts0),
+        # cataphora: the pronoun precedes its antecedent
+        ("s4", 0, "user", "She works at Umbrella Labs. Grace Lin loves "
+                          "that job.", None, ts0),
+        # verbless headline apposition (em-dash copula)
+        ("s5", 0, "user", "Henry Ford — new CEO of Globex.", None, ts0),
+        # relative adjunct resolves against the episode timestamp
+        ("s6", 0, "user", "Ivy Chou works at Hooli since last year.",
+         None, ts0),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    eps = hydrate_context(assemble_episodes(tr, RUN_TS))
+    raw = extract_edges(eps, RUN_TS)
+    return raw.select(F.col("group_id").alias("conv_id"), "turn_idx",
+                      "subj", "pred", "obj", "valid_at")
+
+
+SQL_KG_SPEECH_ACTS = """
+SELECT * FROM (VALUES
+  ('s1', 1, 'Bob Reyes',  'WORKS_AT', 'Hooli',
+   TIMESTAMP '2024-03-15 00:00:00'),
+  ('s3', 0, 'Frank Woo',  'WORKS_AT', 'Acme Corp',
+   TIMESTAMP '2024-03-15 00:00:00'),
+  ('s4', 0, 'Grace Lin',  'WORKS_AT', 'Umbrella Labs',
+   TIMESTAMP '2024-03-15 00:00:00'),
+  ('s5', 0, 'Henry Ford', 'CEO_OF',   'Globex',
+   TIMESTAMP '2024-03-15 00:00:00'),
+  ('s6', 0, 'Ivy Chou',   'WORKS_AT', 'Hooli',
+   TIMESTAMP '2023-01-01 00:00:00')
+) AS t(conv_id, turn_idx, subj, pred, obj, valid_at)
 """
 
 
@@ -2213,9 +2319,11 @@ QUERIES = {
     "cross_encoder_rerank": q_cross_encoder_rerank,
     "bm25_search": q_bm25_search,
     "composite_search": q_composite_search,
+    "served_search": q_served_search,
     "kg_extract_triples": q_kg_extract_triples,
     "kg_anaphora": q_kg_anaphora,
     "kg_context_coref": q_kg_context_coref,
+    "kg_speech_acts": q_kg_speech_acts,
     "kg_mentions": q_kg_mentions,
     "kg_json_episodes": q_kg_json_episodes,
     "kg_fact_dates": q_kg_fact_dates,
@@ -2267,9 +2375,11 @@ ORACLES = {
     "cross_encoder_rerank": SQL_CROSS_ENCODER_RERANK,
     "bm25_search": SQL_BM25_SEARCH,
     "composite_search": SQL_COMPOSITE_SEARCH,
+    "served_search": SQL_COMPOSITE_SEARCH,
     "kg_extract_triples": SQL_KG_EXTRACT_TRIPLES,
     "kg_anaphora": SQL_KG_ANAPHORA,
     "kg_context_coref": SQL_KG_CONTEXT_COREF,
+    "kg_speech_acts": SQL_KG_SPEECH_ACTS,
     "kg_mentions": SQL_KG_MENTIONS,
     "kg_json_episodes": SQL_KG_JSON_EPISODES,
     "kg_fact_dates": SQL_KG_FACT_DATES,

@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 # ---------------------------------------------------------------------------
 # Predicate semantics (drives temporal versioning, SURVEY.md §2.7)
@@ -143,11 +143,42 @@ _WS = re.compile(r"\s+")
 _CTRL = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")  # _clean_input, llm_client/client.py:68-88
 
 # Trailing temporal adjunct on a fact sentence: "... since <date>",
-# "... on <date>", "... from <date>", "... until <date>".
+# "... on <date>", "... from <date>", "... until <date>". Relative
+# mentions resolve against the episode timestamp — the reference's date
+# prompt instructs exactly this ("calculate the actual datetime based on
+# the reference timestamp", prompts/extract_edge_dates.py:66,77,81).
+_REL_DATES = ("yesterday", "today", "last week", "last month", "last year")
 _ADJUNCT = re.compile(
     r"^(?P<core>.*?)[\s,]+(?P<kind>since|from|on|until)\s+"
-    r"(?P<d>\d[\dTZz:+.\-]*)$")
+    r"(?P<d>\d[\dTZz:+.\-]*|yesterday|today|last week|last month|last year)$")
 _YEAR_ONLY = re.compile(r"^\d{4}$")
+
+
+def _resolve_adjunct_date(d: str, ts: datetime | None) -> datetime | None:
+    """Adjunct date string → UTC datetime. Absolute forms parse as ISO;
+    relative forms resolve against the episode timestamp (reference
+    semantics, extract_edge_dates.py:77: "Use the reference timestamp as
+    the current time"). Day-granular forms land on UTC midnight; month /
+    year forms on the period's first day (the same convention the
+    "founded in YYYY" rule already uses). No timestamp → None (the
+    reference warns-and-nulls unparseable dates)."""
+    if d[0].isdigit():
+        return parse_iso_date(d)
+    if ts is None:
+        return None
+    day = datetime(ts.year, ts.month, ts.day, tzinfo=timezone.utc)
+    if d == "today":
+        return day
+    if d == "yesterday":
+        return day - timedelta(days=1)
+    if d == "last week":
+        return day - timedelta(days=7)
+    if d == "last month":
+        y, m = (ts.year, ts.month - 1) if ts.month > 1 else (ts.year - 1, 12)
+        return datetime(y, m, 1, tzinfo=timezone.utc)
+    if d == "last year":
+        return datetime(ts.year - 1, 1, 1, tzinfo=timezone.utc)
+    return None
 
 
 def parse_iso_date(s: str) -> datetime | None:
@@ -170,10 +201,12 @@ def parse_iso_date(s: str) -> datetime | None:
     return dt.astimezone(timezone.utc)
 
 
-def _match_templates(sent: str, patterns=None):
+def _match_templates(sent: str, patterns=None, ts: datetime | None = None):
     """Match a sentence against the fact templates, first verbatim, then
     with a trailing temporal adjunct peeled off. → (match, pred, mode,
-    type_a, type_b, adjunct_kind, adjunct_dt) or None.
+    type_a, type_b, adjunct_kind, adjunct_dt) or None. ``ts`` (the
+    episode timestamp) resolves relative adjunct dates ("since last
+    year"); omitted, relative adjuncts drop to None dates.
 
     ``patterns`` (default: the built-in ``_PATTERNS``) is any ordered
     collection of (compiled, pred, mode, subj_type, obj_type) — a custom
@@ -191,11 +224,12 @@ def _match_templates(sent: str, patterns=None):
         m = pat.match(sent)
         if m:
             return m, pred, mode, t_a, t_b, None, None
-    if builtin and sent[-1] not in _ADJ_TAIL:
+    if builtin and sent[-1] not in _ADJ_TAIL \
+            and not sent.endswith(_REL_DATES):
         return None
     am = _ADJUNCT.match(sent)
     if am:
-        dt = parse_iso_date(am.group("d"))
+        dt = _resolve_adjunct_date(am.group("d"), ts)
         core = am.group("core").strip()
         for i, (pat, pred, mode, t_a, t_b) in enumerate(patterns):
             if builtin and _KEYWORDS[i] not in core:
@@ -244,11 +278,23 @@ def split_speaker(content: str) -> tuple[str, str]:
 
 
 def sentences(body: str) -> list[str]:
+    return [s for s, _q in sentences_marked(body)]
+
+
+def sentences_marked(body: str) -> list[tuple[str, bool]]:
+    """(sentence, is_question) pairs. The terminator is consumed here, so
+    interrogative force must be recorded before it disappears — a question
+    mentions entities but ASSERTS nothing, and the reference's edge prompt
+    only emits "factual information" (prompts/extract_edges.py:95-104), so
+    "Alice likes Bob?" must not become a LIKES fact."""
     out = []
     for s in _SENT_SPLIT.split(body or ""):
-        s = s.strip().rstrip(".!?").strip()
-        if s:
-            out.append(s)
+        s = s.strip()
+        core = s.rstrip(".!?")
+        q = "?" in s[len(core):]
+        core = core.strip()
+        if core:
+            out.append((core, q))
     return out
 
 
@@ -265,8 +311,38 @@ _APPOS = re.compile(
     rf"^(?P<a>{_NAME}), (?:the )?(?P<role>CEO|founder|head) of "
     rf"(?P<b>{_NAME}), (?P<rest>.+)$")
 _RELCL = re.compile(rf"^(?P<a>{_NAME}), who (?P<vp>.+?), (?P<rest>.+)$")
-_APPOS_PRED = {"CEO": "is the CEO of"}     # other roles: mention-only
+_APPOS_PRED = {"CEO": "is the CEO of",     # other roles: mention-only
+               "founder": "is the founder of"}
 _ADVERB = re.compile(r"\b(?:currently|now|still|recently)\s+")
+
+# Verbless headline apposition ("Alice Smith — new CEO of Acme Corp."):
+# the em-dash IS the copula, so the clause normalizes to the matching
+# copular template. Hyphen/en-dash spellings accepted; the role set is
+# the appositive one.
+_HEADLINE = re.compile(
+    rf"^(?P<a>{_NAME}) [—–-]+ (?:the |a |new |interim )?"
+    rf"(?P<role>CEO|founder|head) of (?P<b>{_NAME})$")
+
+#: Clause-leading words that mark the embedded proposition as NOT
+#: asserted (conditional / hedged): the reference's edge prompt extracts
+#: only "factual information that forms a relationship"
+#: (prompts/extract_edges.py:95-104), and an LLM does not emit an edge
+#: for "If Alice works at Acme, ..." or "Maybe Alice works at Acme.".
+#: The embedded entities are still mentions (entity extraction is
+#: speech-act-agnostic) and may antecede later pronouns. None of these
+#: words plausibly lead a real proper name, unlike modals (Will, May),
+#: which are deliberately absent.
+_IRREALIS_LEADS = frozenset({
+    "If", "Unless", "Whether", "Maybe", "Perhaps", "Possibly",
+    "Suppose", "Supposing", "Assuming", "Hypothetically", "Presumably",
+    "Supposedly"})
+#: Discourse/evidential leads: the proposition IS asserted (with
+#: provenance hedging an LLM ignores for edge purposes) — strip the
+#: adverb and extract. Trailing comma handled at the stripping site.
+_DISCOURSE_LEADS = frozenset({
+    "Reportedly", "Apparently", "Evidently", "Allegedly", "Indeed",
+    "Also", "Moreover", "Furthermore", "Meanwhile", "However",
+    "Although", "Though", "Whereas"})
 
 # Conjoined subjects ("Alice Smith and Dana Kim work at Acme") assert one
 # fact per conjunct with PLURAL verb agreement; conjoined objects ("Alice
@@ -312,6 +388,13 @@ def expand_clauses(sent: str) -> list[str]:
     the hot path to two C-level substring scans). One nesting level —
     the rest-clause is expanded once more so 'X, who VP, REST' with an
     adverb in REST still lands."""
+    # dash test first: em/en dashes are far rarer in prose than " of ",
+    # so the common path pays one failed substring scan, not two
+    if ("—" in sent or "–" in sent or " - " in sent) and " of " in sent:
+        m = _HEADLINE.match(sent)
+        if m and m.group("role") in _APPOS_PRED:
+            return [f"{m.group('a')} {_APPOS_PRED[m.group('role')]} "
+                    f"{m.group('b')}"]
     if ", " in sent:
         m = _APPOS.match(sent)
         if m:
@@ -450,6 +533,32 @@ def _seed_vp(prev_context, patterns) -> str:
             if hit is not None and hit[0].start("a") == 0:
                 return sent[hit[0].end("a"):].lstrip()
     return ""
+
+
+def _forward_antecedent(sents, si: int) -> str:
+    """Cataphora: the pronoun PRECEDES its antecedent ("She works at
+    Acme Corp. Alice Smith loves that job."). Deterministic forward
+    rule, consulted ONLY after in-episode recency AND the cross-episode
+    seed both come up empty — the first sentence-leading resolvable
+    name in the remainder of the episode, under the same
+    pronoun/determiner/lead-word eligibility as the backward rule. The
+    scan runs only for an otherwise-unresolvable pronoun, so
+    pronoun-free (and backward-resolvable) content never pays for it."""
+    for s, _q in sents[si + 1:]:
+        if not s[:1].isupper():
+            continue
+        head, _, rest = s.partition(" ")
+        if head.rstrip(",") in _LEAD_STRIP and rest:
+            s = rest
+        lm = _LEAD_NAME.match(s)
+        if lm:
+            lead = normalize_name(lm.group("n"))
+            if lead not in _PRONOUNS and lead not in _DETERMINERS:
+                return clean_text(lm.group("n"))
+    return ""
+
+
+_LEAD_STRIP = _IRREALIS_LEADS | _DISCOURSE_LEADS
 
 
 def _coord_split(sent: str, patterns) -> list[str] | None:
@@ -620,7 +729,8 @@ def extract_all(content: str, ts: datetime | None,
     # exists, so pronoun-free content never touches prev_context.
     prev_unseeded = bool(prev_context)   # cross-episode seed available
     vp_unseeded = bool(prev_context)     # ditto, for VP ellipsis
-    for raw_sent in sentences(body):
+    sents = sentences_marked(body)
+    for si, (raw_sent, is_q) in enumerate(sents):
       if speaker_name and raw_sent.startswith("I "):
           # first person resolves to the speaker (prompts/
           # extract_nodes.py contract), conjugated to 3rd person so the
@@ -634,12 +744,29 @@ def extract_all(content: str, ts: datetime | None,
               # 'Alice' (this subject) land in the same entity
               raw_sent = (f"{speaker_name[:1].upper()}"
                           f"{speaker_name[1:]} {vp}")
+      # Speech-act routing on the clause-leading word (capitalized
+      # sentences only — the lowercase hot path pays one char test):
+      # an irrealis lead (If/Maybe/…) means the embedded proposition is
+      # NOT asserted — mentions and antecedent eligibility survive, the
+      # fact does not; a discourse/evidential lead (Reportedly/…) is
+      # asserted — strip the adverb and extract normally. Questions
+      # likewise mention but never assert (sentences_marked).
+      skip_facts = is_q
+      if raw_sent[0].isupper() and " " in raw_sent:
+          _lead, _, _rest = raw_sent.partition(" ")
+          _lead = _lead.rstrip(",")
+          if _rest:
+              if _lead in _IRREALIS_LEADS:
+                  skip_facts = True
+                  raw_sent = _rest
+              elif _lead in _DISCOURSE_LEADS:
+                  raw_sent = _rest
       # pronoun-antecedent recency reads the sentence AS WRITTEN (after
       # the first-person rewrite — the speaker IS the surface subject —
-      # but BEFORE the definite-NP rewrite: 'The company …' must never
-      # make the org the person-pronoun antecedent; in 'Alice works at
-      # Acme. The company is based in Oslo. She lives in Paris.' She is
-      # Alice, not Acme).
+      # and after lead-word stripping, but BEFORE the definite-NP
+      # rewrite: 'The company …' must never make the org the
+      # person-pronoun antecedent; in 'Alice works at Acme. The company
+      # is based in Oslo. She lives in Paris.' She is Alice, not Acme).
       ante_src = raw_sent
       if antecedent_org and raw_sent[:1] == "T" \
               and raw_sent.startswith(_DEF_NP):
@@ -661,6 +788,8 @@ def extract_all(content: str, ts: datetime | None,
                     if not antecedent and prev_unseeded:
                         prev_unseeded = False
                         antecedent = _seed_antecedent(prev_context)
+                    if not antecedent:   # cataphora: look forward
+                        antecedent = _forward_antecedent(sents, si)
                     if antecedent:
                         sent = f"{om.group('head')}{antecedent}"
         elif tail == "o" and (last_vp or vp_unseeded) \
@@ -675,7 +804,7 @@ def extract_all(content: str, ts: datetime | None,
                     last_vp = _seed_vp(prev_context, patterns)
                 if last_vp:
                     sent = f"{em.group('n')} {last_vp}"
-        hit = _match_templates(sent, patterns)
+        hit = _match_templates(sent, patterns, ts)
         if hit is None:
             # isupper first: it rejects lowercase distractor turns with
             # one C-level char test before the ' and ' substring scan
@@ -686,9 +815,11 @@ def extract_all(content: str, ts: datetime | None,
             continue
         m, pred, mode, t_a, t_b, adj_kind, adj_dt = hit
         a_name, b_name = m.group("a"), m.group("b")
-        if m.start("a") == 0:
+        if m.start("a") == 0 and not skip_facts:
             # subject-led clause: remember the surface VP so a later
-            # "<Name> does too" can copy it (do-support ellipsis)
+            # "<Name> does too" can copy it (do-support ellipsis) — but
+            # never from an unasserted clause ("Maybe Alice works at
+            # Acme. Dana does too." must not assert Dana's employment)
             last_vp = sent[m.end("a"):].lstrip()
         a_norm, b_norm = normalize_name(a_name), normalize_name(b_name)
         if a_norm in _PRONOUNS or b_norm in _PRONOUNS:
@@ -697,6 +828,14 @@ def extract_all(content: str, ts: datetime | None,
                          or b_norm in _COREF_PRONOUNS)):
                 prev_unseeded = False
                 antecedent = _seed_antecedent(prev_context)
+            if (not antecedent
+                    and (a_norm in _COREF_PRONOUNS
+                         or b_norm in _COREF_PRONOUNS)):
+                # cataphora: recency and the cross-episode seed are both
+                # empty — the antecedent may FOLLOW ("She works at Acme
+                # Corp. Alice Smith loves that job."). Deterministic
+                # forward scan, paid only by otherwise-dropped pronouns.
+                antecedent = _forward_antecedent(sents, si)
             if a_norm in _PRONOUNS:
                 a_name = antecedent if a_norm in _COREF_PRONOUNS else ""
             if b_norm in _PRONOUNS:
@@ -711,8 +850,9 @@ def extract_all(content: str, ts: datetime | None,
                 antecedent_org = clean_text(b_name)
         if not a_name or not b_name:
             continue   # unresolvable reference: no bogus entity, no triple
-        if not want_triples or t_a in excluded or t_b in excluded:
-            continue
+        if (not want_triples or skip_facts
+                or t_a in excluded or t_b in excluded):
+            continue   # mentions recorded above; the fact is not asserted
         subj, obj = clean_text(a_name), clean_text(b_name)
         if not subj or not obj or normalize_name(subj) == normalize_name(obj):
             continue

@@ -105,6 +105,31 @@ n_knn = brute_force_knn(layers["nodes"].select(
     F.col("name_embedding").alias("embedding")), qdf, k=10).count()
 batch_sec = time.time() - t0
 
+# The serving answer (graphiti_spark/serving.py): export the layer
+# tables once (the Spark job), load the snapshot into a ServedGraph
+# (inverted index + embedding matrix), and answer the SAME composite
+# preset from memory — equivalence-tested per preset in
+# tests/test_serving.py and oracle-checked by the served_search driver
+# query. This is the reference's own architecture (build into an indexed
+# store, serve point lookups) with Spark as the builder.
+from graphiti_spark.serving import ServedGraph                      # noqa: E402
+
+t0 = time.time()
+sg = ServedGraph.from_spark(
+    edges=layers["edges"], nodes=layers["nodes"],
+    episodes=layers["episodes"], communities=layers["communities"])
+sg.search("warm up the lazy indexes", qvec, CS.COMBINED_HYBRID_SEARCH_RRF)
+served_load_sec = time.time() - t0
+served = []
+for i in range(max(N_QUERIES * 5, 50)):
+    q = " ".join(facts[(3 * i) % len(facts)].split()[:4])
+    t0 = time.time()
+    res = sg.search(q, qvec, CS.COMBINED_HYBRID_SEARCH_RRF)
+    served.append(time.time() - t0)
+    n_served = sum(len(x) for x in (res.edges, res.nodes, res.episodes,
+                                    res.communities) if x is not None)
+served = sorted(served)
+
 out = {
     "metric": "composite_search_latency_p50",
     "value": round(conc[len(conc) // 2], 3),
@@ -123,6 +148,18 @@ out = {
     "batched_knn": {"n_queries": M, "total_sec": round(batch_sec, 3),
                     "per_query_sec": round(batch_sec / M, 3),
                     "rows": n_knn},
+    "served": {
+        "snapshot_load_sec": round(served_load_sec, 3),
+        "n_queries": len(served),
+        "sec_per_query": {"min": round(served[0], 6),
+                          "p50": round(served[len(served) // 2], 6),
+                          "max": round(served[-1], 6)},
+        "last_result_rows": n_served,
+        "note": "same COMBINED_HYBRID_SEARCH_RRF call answered by "
+                "ServedGraph from the exported snapshot; equivalence "
+                "per preset in tests/test_serving.py, oracle-checked "
+                "by the served_search driver query",
+    },
     "cpus": CPUS,
 }
 print(json.dumps(out))

@@ -131,6 +131,34 @@ FAMILIES = {
     "headline_apposition": (
         lambda p, o, c, y: (f"{p} — new CEO of {o}.",
                             {(p, "CEO_OF", o)})),
+    # round-4e: speech-act families. Questions and irrealis leads mention
+    # entities but assert NOTHING — the gold is empty, so any extraction
+    # is a false positive (these measure PRECISION risk, the mirror image
+    # of the recall-risk families above). Discourse/evidential leads are
+    # asserted; the adverb is stripped.
+    "question_no_assert": (
+        lambda p, o, c, y: (f"Does {p} work at {o}?", set())),
+    "question_decl_no_assert": (
+        lambda p, o, c, y: (f"{p} works at {o}?", set())),
+    "irrealis_no_assert": (
+        lambda p, o, c, y: (f"Maybe {p} works at {o}.", set())),
+    "irrealis_if_no_assert": (
+        lambda p, o, c, y: (f"If {p} works at {o}, ask her.", set())),
+    "irrealis_ellipsis_guard": (
+        lambda p, o, c, y: (f"Maybe {p} works at {o}. Dana Kim does too.",
+                            set())),
+    "discourse_lead": (
+        lambda p, o, c, y: (f"Reportedly, {p} works at {o}.",
+                            {(p, "WORKS_AT", o)})),
+    # round-4e: relative temporal adjuncts resolve against the episode
+    # timestamp (reference prompts/extract_edge_dates.py:66-81); the
+    # triple must still extract with the adjunct peeled.
+    "relative_date_adjunct": (
+        lambda p, o, c, y: (f"{p} works at {o} since last year.",
+                            {(p, "WORKS_AT", o)})),
+    "founder_appositive": (
+        lambda p, o, c, y: (f"{p}, founder of {o}, lives in {c}.",
+                            {(p, "FOUNDED", o), (p, "LIVES_IN", c)})),
 }
 
 # family → (render -> (content, prev_contents, gold)): constructions whose

@@ -387,9 +387,14 @@ def test_appositive_and_relative_clause_expansion():
         "user: Alice, who works at Acme Corp, moved to Paris.", TS)
     assert {(x["subj"], x["pred"], x["obj"]) for x in t} == \
         {("Alice", "WORKS_AT", "Acme Corp"), ("Alice", "LIVES_IN", "Paris")}
-    # non-CEO appositive roles fall back to the rest-clause only
+    # founder appositive asserts FOUNDED (round-4 template breadth)
     t = rules.extract_triples(
         "user: Alice, founder of Acme Corp, lives in Paris.", TS)
+    assert {(x["subj"], x["pred"], x["obj"]) for x in t} == \
+        {("Alice", "FOUNDED", "Acme Corp"), ("Alice", "LIVES_IN", "Paris")}
+    # roles without a predicate mapping fall back to the rest-clause only
+    t = rules.extract_triples(
+        "user: Alice, head of Acme Corp, lives in Paris.", TS)
     assert {(x["subj"], x["pred"], x["obj"]) for x in t} == \
         {("Alice", "LIVES_IN", "Paris")}
 
@@ -717,3 +722,93 @@ def test_trigger_consumable_shapes_without_punctuation():
     # pronoun-free content stays un-triggered (the pruning claim)
     assert not might_consume_context(
         "user: Alice Chen works at Acme Corp. Bob Ray likes Tea.")
+
+
+# ---------------------------------------------------------------------------
+# round-4e: speech acts, cataphora, headline apposition, relative dates
+# ---------------------------------------------------------------------------
+
+def _spo(t):
+    return [(x["subj"], x["pred"], x["obj"]) for x in t]
+
+
+def test_question_mentions_but_never_asserts():
+    # the reference's edge prompt extracts only "factual information"
+    # (prompts/extract_edges.py:95-104) — a question asserts nothing
+    m, t = rules.extract_all("user: Alice Smith works at Acme Corp?", TS)
+    assert {x["name"] for x in m} == {"Alice Smith", "Acme Corp"}
+    assert t == []
+    # ...but a following statement is unaffected
+    t = rules.extract_triples(
+        "user: Does she know? Alice Smith works at Acme Corp.", TS)
+    assert _spo(t) == [("Alice Smith", "WORKS_AT", "Acme Corp")]
+
+
+def test_irrealis_lead_suppresses_fact_keeps_mentions():
+    for lead in ("Maybe", "If", "Perhaps", "Suppose", "Assuming"):
+        m, t = rules.extract_all(
+            f"user: {lead} Alice Smith works at Acme Corp.", TS)
+        assert {x["name"] for x in m} == {"Alice Smith", "Acme Corp"}, lead
+        assert t == [], lead
+
+
+def test_discourse_lead_is_stripped_and_asserted():
+    for lead in ("Reportedly,", "Apparently", "Moreover,", "However,"):
+        t = rules.extract_triples(
+            f"user: {lead} Alice Smith works at Acme Corp.", TS)
+        assert _spo(t) == [("Alice Smith", "WORKS_AT", "Acme Corp")], lead
+
+
+def test_irrealis_vp_is_not_ellipsis_copyable():
+    # "does too" must not copy an UNASSERTED VP
+    t = rules.extract_triples(
+        "user: Maybe Alice Smith works at Acme Corp. Dana Kim does too.",
+        TS)
+    assert t == []
+
+
+def test_cataphora_forward_antecedent():
+    t = rules.extract_triples(
+        "user: She works at Acme Corp. Alice Smith loves that job.", TS)
+    assert _spo(t) == [("Alice Smith", "WORKS_AT", "Acme Corp")]
+    # object-tail variant
+    t = rules.extract_triples(
+        "user: Acme Corp employs her. Alice Smith is happy there.", TS)
+    assert _spo(t) == [("Alice Smith", "WORKS_AT", "Acme Corp")]
+    # recency still wins over the forward scan when available
+    t = rules.extract_triples(
+        "user: Carol Moss lives in Oslo. She works at Acme Corp. "
+        "Alice Smith loves that job.", TS)
+    assert ("Carol Moss", "WORKS_AT", "Acme Corp") in _spo(t)
+
+
+def test_headline_apposition_normalizes_to_copular():
+    for dash in ("—", "–", "-"):
+        t = rules.extract_triples(
+            f"user: Alice Smith {dash} new CEO of Acme Corp.", TS)
+        assert _spo(t) == [("Alice Smith", "CEO_OF", "Acme Corp")], dash
+    t = rules.extract_triples(
+        "user: Alice Smith — founder of Acme Corp.", TS)
+    assert _spo(t) == [("Alice Smith", "FOUNDED", "Acme Corp")]
+
+
+def test_relative_adjunct_dates_resolve_against_episode_ts():
+    # reference prompts/extract_edge_dates.py:66-81: relative mentions
+    # resolve against the reference timestamp
+    ts = datetime(2024, 3, 15, 12, tzinfo=timezone.utc)
+    t = rules.extract_triples(
+        "user: Alice Smith works at Acme Corp since yesterday.", ts)
+    assert t[0]["valid_at"] == datetime(2024, 3, 14, tzinfo=timezone.utc)
+    t = rules.extract_triples(
+        "user: Alice Smith works at Acme Corp since last year.", ts)
+    assert t[0]["valid_at"] == datetime(2023, 1, 1, tzinfo=timezone.utc)
+    t = rules.extract_triples(
+        "user: Alice Smith works at Acme Corp since last month.", ts)
+    assert t[0]["valid_at"] == datetime(2024, 2, 1, tzinfo=timezone.utc)
+    t = rules.extract_triples(
+        "user: Alice Smith works at Acme Corp until today.", ts)
+    assert t[0]["invalid_at"] == datetime(2024, 3, 15, tzinfo=timezone.utc)
+    # no episode timestamp → warn-and-null semantics (reference parity)
+    t = rules.extract_triples(
+        "user: Alice Smith works at Acme Corp since yesterday.", None)
+    assert t[0]["valid_at"] is None
