@@ -119,8 +119,13 @@ might_consume_context = re.compile(COREF_TRIGGER_PATTERN).search
 
 
 def _coref_trigger():
-    # built lazily: Column construction needs an active SparkContext
-    return F.col("content").rlike(COREF_TRIGGER_PATTERN)
+    # built lazily: Column construction needs an active SparkContext.
+    # coalesce(false): pipeline-assembled content is never null
+    # (concat_ws), but hydrate_context splits the corpus on BOTH this
+    # predicate and its negation — a null rlike would drop the row from
+    # both branches for any caller that hands in raw episodes.
+    return F.coalesce(F.col("content").rlike(COREF_TRIGGER_PATTERN),
+                      F.lit(False))
 
 
 def hydrate_context(episodes: DataFrame,
