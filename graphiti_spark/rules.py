@@ -503,8 +503,10 @@ def _seed_antecedent(prev_context) -> str:
         speaker_name = ("" if not speaker
                         or speaker.lower() in _GENERIC_SPEAKERS
                         else clean_text(speaker))
-        for sent in reversed(sentences(body)):
-            if not sent[:1].isupper():
+        for sent, is_q in reversed(sentences_marked(body)):
+            # same question guard as the forward scan: an
+            # auxiliary-led interrogative is not an antecedent source
+            if is_q or not sent[:1].isupper():
                 continue
             if speaker_name and sent.startswith("I "):
                 return (f"{speaker_name[:1].upper()}{speaker_name[1:]}")
@@ -544,8 +546,12 @@ def _forward_antecedent(sents, si: int) -> str:
     pronoun/determiner/lead-word eligibility as the backward rule. The
     scan runs only for an otherwise-unresolvable pronoun, so
     pronoun-free (and backward-resolvable) content never pays for it."""
-    for s, _q in sents[si + 1:]:
-        if not s[:1].isupper():
+    for s, q in sents[si + 1:]:
+        # questions never assert, so they never supply antecedents
+        # either: "Does Alice Smith know?" must not mint a name
+        # "Does Alice Smith" (the auxiliary lead is capitalized and
+        # would pass _LEAD_NAME)
+        if q or not s[:1].isupper():
             continue
         head, _, rest = s.partition(" ")
         if head.rstrip(",") in _LEAD_STRIP and rest:
@@ -887,8 +893,11 @@ def extract_all(content: str, ts: datetime | None,
       # untouched (chains: "Alice … . She … . She … ." all resolve to
       # Alice; "The weather …" must not make "The" an antecedent). The
       # isupper guard keeps the all-lowercase hot path (distractor
-      # turns) to one C-level char test.
-      if ante_src[0].isupper():
+      # turns) to one C-level char test. Questions are excluded the
+      # same way as in the forward/seed scans: "Does Alice Smith
+      # know?" leads with a capitalized auxiliary that _LEAD_NAME
+      # would glue into a bogus name "Does Alice Smith".
+      if not is_q and ante_src[0].isupper():
           lm = _LEAD_NAME.match(ante_src)
           if lm:
               lead = normalize_name(lm.group("n"))

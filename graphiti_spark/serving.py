@@ -109,9 +109,13 @@ class _Layer:
             for t, post in index.items()}
         self.has_emb = emb_col is not None and emb_col in self.rows
         if self.has_emb:
-            self.emb = np.array(
-                [np.asarray(v, dtype=np.float64)
-                 for v in self.rows[emb_col]])
+            vecs = [np.asarray(v, dtype=np.float64)
+                    for v in self.rows[emb_col]]
+            # a 0-row layer (no communities yet, empty group shard) must
+            # still build a 2-D matrix — np.array([]) is 1-D and breaks
+            # the einsum and the matmul in cosine()
+            self.emb = (np.vstack(vecs) if vecs
+                        else np.zeros((0, 0), dtype=np.float64))
             # same formula as cosine_col: norm from the element squares,
             # rows with zero norm score 0
             self.norm = np.sqrt(np.einsum("ij,ij->i", self.emb, self.emb))
@@ -159,6 +163,10 @@ class _Layer:
         (score DESC, uuid) top-``limit``; zero-norm rows score 0."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.sqrt((q * q).sum())) or 1.0
+        if self.emb.shape[0] == 0:
+            # empty layer: the (0, 0) placeholder matrix cannot matmul a
+            # dim-d query, and there is nothing to score anyway
+            return pd.DataFrame({"uuid": [], "score": []})
         if mask is None:
             # unscoped hot path: matmul against the stored matrix
             # directly — fancy-indexing with arange would COPY the whole

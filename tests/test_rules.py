@@ -782,6 +782,31 @@ def test_cataphora_forward_antecedent():
     assert ("Carol Moss", "WORKS_AT", "Acme Corp") in _spo(t)
 
 
+def test_question_is_never_an_antecedent_source():
+    # ADVICE r4: an auxiliary-led interrogative must not mint a bogus
+    # name "Does Alice Smith" as the cataphora antecedent
+    m, t = rules.extract_all(
+        "user: She works at Acme Corp. Does Alice Smith know?", TS)
+    assert "Does Alice Smith" not in {x["name"] for x in m}
+    assert t == []
+    # backward/recency variant: the question precedes the pronoun
+    m, t = rules.extract_all(
+        "user: Does Alice Smith know? She works at Acme Corp.", TS)
+    assert "Does Alice Smith" not in {x["name"] for x in m}
+    assert t == []
+    # cross-episode seed variant: the only prior sentence is a question
+    m, t = rules.extract_all(
+        "user: She works at Acme Corp.", TS,
+        prev_context=["bob: Does Alice Smith know?"])
+    assert "Does Alice Smith" not in {x["name"] for x in m}
+    assert t == []
+    # a declarative after the question is still a valid antecedent
+    t = rules.extract_triples(
+        "user: Does anyone know? Alice Smith lives in Oslo. "
+        "She works at Acme Corp.", TS)
+    assert ("Alice Smith", "WORKS_AT", "Acme Corp") in _spo(t)
+
+
 def test_headline_apposition_normalizes_to_copular():
     for dash in ("—", "–", "-"):
         t = rules.extract_triples(

@@ -176,3 +176,23 @@ def test_served_latency_is_interactive(served_setup):
     per_query = (time.perf_counter() - t0) / 20
     assert n > 0
     assert per_query < 1.0, f"served search took {per_query:.3f}s/query"
+
+
+def test_empty_layer_does_not_crash(served_setup):
+    """ADVICE r4: a 0-row layer table (no communities yet, empty group
+    shard) used to build a 1-D embedding matrix and crash the einsum in
+    _Layer.__init__; search() must instead return an empty frame for
+    that layer and leave the others untouched."""
+    layers, _, facts, qvec, _ = served_setup
+    empty_comms = layers["communities"].toPandas().iloc[0:0]
+    sg = ServedGraph(
+        edges=layers["edges"].toPandas(),
+        nodes=layers["nodes"].toPandas(),
+        episodes=layers["episodes"].toPandas(),
+        communities=empty_comms,
+        episodic_edges=layers["episodic_edges"].toPandas())
+    preset = CS.COMBINED_HYBRID_SEARCH_RRF
+    res = sg.search(" ".join(facts[0].split()[:4]), qvec, preset)
+    assert res.communities is not None and len(res.communities) == 0
+    assert res.edges is not None and len(res.edges) > 0
+    assert res.nodes is not None and len(res.nodes) > 0
