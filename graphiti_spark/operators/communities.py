@@ -25,6 +25,14 @@ from graphiti_spark.operators.episodes import stable_id_cols
 
 MAX_COMMUNITY_ROUNDS = 20
 SUMMARY_MAX_WORDS = 250
+# Per-group node cap for the in-memory grouped LPA executor. The reference
+# itself materializes one group's whole neighbor projection in a Python dict
+# (community_operations.py:44-62) before running label_propagation on it —
+# so "a group fits in one worker's memory" is the reference's own operating
+# assumption; this cap is where we stop trusting it and fall back to the
+# iterative-join rounds. 200k nodes × (uuid + neighbor list) is ~100 MB of
+# Python objects, comfortably inside one executor-core's slice.
+GROUPED_LPA_MAX_NODES = 200_000
 
 
 def neighbor_projection(edges: DataFrame) -> DataFrame:
@@ -44,14 +52,15 @@ def neighbor_projection(edges: DataFrame) -> DataFrame:
 
 def label_propagation(entities: DataFrame, edges: DataFrame,
                       max_rounds: int = MAX_COMMUNITY_ROUNDS,
-                      mode: str = "monotone") -> DataFrame:
+                      mode: str = "monotone", strategy: str = "auto",
+                      max_group_nodes: int = GROUPED_LPA_MAX_NODES
+                      ) -> DataFrame:
     """→ (uuid, group_id, community) with community = a stable label id.
 
     Initial label = own uuid; each round a node adopts a neighbor
-    plurality label (Σ edge_count weighting, struct-max argmax = larger
-    label on vote ties, ``community_operations.py:102-108``); isolated
-    nodes keep their own label. Driver loop with localCheckpoint per
-    round (lineage cut).
+    plurality label (Σ edge_count weighting, argmax ties → larger label,
+    ``community_operations.py:102-108``); isolated nodes keep their own
+    label; synchronous rounds to fixpoint (capped at ``max_rounds``).
 
     ``mode`` picks the update rule:
 
@@ -73,9 +82,113 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
       forever on adversarial symmetric graphs; this version stops at
       ``max_rounds`` (tested to fixpoint on seeded random graphs against
       a pure-Python port, tests/test_communities.py).
+
+    ``strategy`` picks the physical executor (same semantics either way;
+    equality is test-gated on seeded random graphs for both modes):
+
+    * ``"grouped"``: one cogrouped ``applyInPandas`` over ``group_id``
+      runs the whole fixpoint per group in-memory — the reference's own
+      unit of work (it projects ONE group's neighbors into a dict and
+      iterates it in-process, ``community_operations.py:44-62,77``).
+      Rounds are group-local, so this is exactly the synchronous-join
+      result, minus a driver loop of 2 shuffles per GLOBAL round. At
+      10^12-turn scale group graphs are conversation-sized and this is
+      one shuffle total.
+    * ``"rounds"``: iterative DataFrame joins, one synchronous round per
+      driver-loop iteration (localCheckpoint lineage cuts). Needed only
+      when a single group's graph outgrows one task's memory.
+    * ``"auto"`` (default): size-gate — groups ≤ ``max_group_nodes``
+      take the grouped path, larger ones the join rounds; results
+      unioned. The gate is one count aggregate over ``entities``.
     """
     if mode not in ("monotone", "reference"):
         raise ValueError(f"unknown LPA mode {mode!r}")
+    if strategy not in ("auto", "grouped", "rounds"):
+        raise ValueError(f"unknown LPA strategy {strategy!r}")
+    if strategy == "rounds":
+        return _rounds_lpa(entities, edges, max_rounds, mode)
+    proj = neighbor_projection(edges)
+    if strategy == "grouped":
+        return _grouped_lpa(entities, proj, mode, max_rounds)
+    big = [r["group_id"] for r in
+           (entities.groupBy("group_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_group_nodes)
+            .select("group_id").collect())]
+    if not big:
+        return _grouped_lpa(entities, proj, mode, max_rounds)
+    small = _grouped_lpa(entities.where(~F.col("group_id").isin(big)),
+                         proj.where(~F.col("group_id").isin(big)),
+                         mode, max_rounds)
+    return small.unionByName(
+        _rounds_lpa(entities.where(F.col("group_id").isin(big)),
+                    edges.where(F.col("group_id").isin(big)),
+                    max_rounds, mode))
+
+
+def _grouped_lpa(entities: DataFrame, proj: DataFrame, mode: str,
+                 max_rounds: int) -> DataFrame:
+    """Per-group in-memory LPA fixpoint (cogrouped applyInPandas): the
+    direct Spark expression of the reference's per-group loop
+    (``community_operations.py:44-122``), parameterized by the same two
+    update rules as the join executor. Label/tie comparisons are Python
+    ``str`` order == Spark UTF8 binary order on the ASCII hex uuids the
+    pipeline emits."""
+    import pandas as pd
+
+    def fn(key, nodes_pdf: pd.DataFrame, proj_pdf: pd.DataFrame
+           ) -> pd.DataFrame:
+        nodes = nodes_pdf["uuid"].tolist()
+        if not nodes:
+            return pd.DataFrame({"uuid": [], "group_id": [],
+                                 "community": []})
+        in_group = set(nodes)
+        nbrs: dict[str, list[tuple[str, int]]] = {}
+        for s, d, w in zip(proj_pdf["src"], proj_pdf["dst"],
+                           proj_pdf["edge_count"]):
+            # endpoints outside the entity set carry no label to vote
+            # with (the join executor drops them via the labels join)
+            if s in in_group and d in in_group:
+                nbrs.setdefault(s, []).append((d, int(w)))
+        community = {u: u for u in nodes}
+        monotone = mode == "monotone"
+        for _ in range(max_rounds):
+            new, change = {}, False
+            for u in nodes:
+                cur = community[u]
+                cand: dict[str, int] = {}
+                for v, w in nbrs.get(u, ()):
+                    lbl = community[v]
+                    cand[lbl] = cand.get(lbl, 0) + w
+                if monotone:
+                    cand[cur] = cand.get(cur, 0) + 1
+                    _, lbl = max((c, l) for l, c in cand.items())
+                    newl = lbl if lbl > cur else cur
+                elif cand:
+                    votes, lbl = max((c, l) for l, c in cand.items())
+                    newl = lbl if votes > 1 else max(lbl, cur)
+                else:
+                    newl = cur
+                new[u] = newl
+                change |= newl != cur
+            community = new
+            if not change:
+                break
+        return pd.DataFrame({"uuid": nodes,
+                             "group_id": key[0],
+                             "community": [community[u] for u in nodes]})
+
+    return (entities.select("uuid", "group_id").groupBy("group_id")
+            .cogroup(proj.groupBy("group_id"))
+            .applyInPandas(fn, "uuid string, group_id string, "
+                               "community string"))
+
+
+def _rounds_lpa(entities: DataFrame, edges: DataFrame,
+                max_rounds: int, mode: str) -> DataFrame:
+    """Synchronous-round LPA as iterative DataFrame joins — the executor
+    for groups too large for one task's memory. One round = neighbor-vote
+    join + two hash aggregates + label join, lineage-cut per round."""
     proj = neighbor_projection(edges).localCheckpoint(eager=True)
     labels = (entities.select("uuid", "group_id")
               .withColumn("community", F.col("uuid"))
@@ -89,8 +202,9 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
         if mode == "monotone":
             # Self-vote (weight 1): stabilizes synchronous updates —
             # without it a symmetric pair oscillates a↔b forever (the
-            # reference updates nodes sequentially in-memory, which
-            # converges implicitly).
+            # reference's synchronous loop shares this hazard; its
+            # weight>1/max(candidate,current) rule masks it on weight-1
+            # ties only).
             self_votes = labels.select(
                 "group_id", F.col("uuid").alias("src"),
                 F.col("community").alias("nbr_label"), F.lit(1).alias("w"))
@@ -192,12 +306,14 @@ def _member_edge_rows(members: DataFrame, run_ts: datetime) -> DataFrame:
 def build_communities(entities: DataFrame, edges: DataFrame,
                       run_ts: datetime,
                       mode: str = "monotone",
-                      materialize: bool = True) -> tuple[DataFrame,
-                                                         DataFrame]:
+                      materialize: bool = True,
+                      strategy: str = "auto") -> tuple[DataFrame,
+                                                       DataFrame]:
     """→ (communities, community_edges) — CommunityNode rows (uuid, name,
-    group_id, summary, created_at) + HAS_MEMBER thin edges. ``mode``
-    passes through to :func:`label_propagation` (monotone scale default
-    or the reference-semantics synchronous vote).
+    group_id, summary, created_at) + HAS_MEMBER thin edges. ``mode`` and
+    ``strategy`` pass through to :func:`label_propagation` (monotone
+    scale default or the reference-semantics synchronous vote; grouped
+    in-memory vs iterative-join executor, size-gated by default).
 
     ``materialize`` (default True) cuts the input lineage with an eager
     ``localCheckpoint`` before the iterative loop — the standard Spark
@@ -211,7 +327,8 @@ def build_communities(entities: DataFrame, edges: DataFrame,
     if materialize:
         entities = entities.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
-    labels = label_propagation(entities, edges, mode=mode)
+    labels = label_propagation(entities, edges, mode=mode,
+                               strategy=strategy)
     members = (entities.join(labels.select("uuid", "community"), "uuid")
                .join(_degree(edges), "uuid", "left").na.fill({"degree": 0})
                .withColumn("community_uuid",

@@ -85,33 +85,45 @@ big = sorted((r["uuid"], r["hops"])
 wall_bfs = time.time() - t0
 bfs_invariant = big == ref
 
-# --- LPA: full closed-form community check -----------------------------
+# --- LPA: full closed-form community check, BOTH executors -------------
+# "grouped" is what strategy="auto" resolves to here (every cluster is a
+# 20-node group — the per-conversation shape): one cogrouped
+# applyInPandas shuffle. "rounds" is the iterative-join fallback for a
+# group too big for one task (forced here on the same input to keep the
+# giant-single-group cost on record).
 nodes = nodes.persist()
 nodes.count()
-t0 = time.time()
-labels = label_propagation(nodes, edges).persist()
-n_labeled = labels.count()
-wall_lpa = time.time() - t0
-
 expected = _uuid(
     (F.substring("uuid", 2, 9).cast("long") / CSIZE).cast("long") * CSIZE
     + (CSIZE - 1))
-n_wrong = labels.where(F.col("community") != expected).count()
-n_comms = labels.select("community").distinct().count()
+lpa = {}
+for strat in ("grouped", "rounds"):
+    t0 = time.time()
+    labels = label_propagation(nodes, edges, strategy=strat).persist()
+    labels.count()
+    wall = time.time() - t0
+    lpa[strat] = {
+        "sec": round(wall, 2),
+        "nodes_per_sec": round(N_NODES / wall, 1),
+        "communities": labels.select("community").distinct().count(),
+        "wrong_labels": labels.where(
+            F.col("community") != expected).count(),
+    }
+    labels.unpersist()
+wall_lpa = lpa["grouped"]["sec"]
 
 out = {
     "metric": "lpa_nodes_per_sec",
-    "value": round(N_NODES / wall_lpa, 1),
+    "value": lpa["grouped"]["nodes_per_sec"],
     "unit": "nodes/sec",
     "n_nodes": N_NODES,
     "n_edges": n_edges,
     "bfs_sec": round(wall_bfs, 2),
     "bfs_edges_returned": len(big),
     "bfs_scale_invariant": bfs_invariant,
-    "lpa_sec": round(wall_lpa, 2),
-    "lpa_communities": n_comms,
+    "lpa_sec": wall_lpa,
+    "lpa_by_strategy": lpa,
     "lpa_expected_communities": N_NODES // CSIZE,
-    "lpa_wrong_labels": n_wrong,
     "cpus": CPUS,
 }
 print(json.dumps(out))

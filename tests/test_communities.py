@@ -187,8 +187,7 @@ def _partition(by):
     return frozenset(frozenset(g) for g in groups.values())
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_reference_mode_matches_python_port(spark, seed):
+def _random_graph(seed):
     import random
     rng = random.Random(seed)
     nodes = [f"u{i:03d}" for i in range(40)]
@@ -204,15 +203,59 @@ def test_reference_mode_matches_python_port(spark, seed):
                           rng.choice(nodes[18:36])))
     for _ in range(20):
         edge_rows.append(rng.choice(edge_rows))   # multiplicity
+    return nodes, edge_rows
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("strategy", ["grouped", "rounds"])
+def test_reference_mode_matches_python_port(spark, seed, strategy):
+    nodes, edge_rows = _random_graph(seed)
     ents, edges = _graph(spark, edge_rows, nodes)
     # reference mode lacks the monotone invariant, so convergence can
     # take more rounds than the scale default (seed 47 needs 26)
     got = {r["uuid"]: r["community"]
            for r in C.label_propagation(ents, edges, max_rounds=60,
-                                        mode="reference").collect()}
+                                        mode="reference",
+                                        strategy=strategy).collect()}
     want = _lpa_reference_port(nodes, edge_rows, max_rounds=60)
     assert got == want                       # labels, not just partition
     assert _partition(got) == _partition(want)
+
+
+@pytest.mark.parametrize("mode", ["monotone", "reference"])
+def test_grouped_executor_equals_join_rounds(spark, mode):
+    """The cogrouped in-memory executor and the iterative-join executor
+    are the same function: rounds are group-local (a node's update reads
+    only same-group neighbors), so per-group fixpoints == global
+    synchronous fixpoint. Checked label-exact on a 3-group mix of random
+    blocks, stars, and isolated nodes."""
+    rows, nodes = [], []
+    for g, seed in (("g", 5), ("h", 6)):
+        ns, es = _random_graph(seed)
+        nodes += [(f"{g}{n}", g) for n in ns]
+        rows += [(f"{g}{s}", f"{g}{d}", g) for s, d in es]
+    nodes += [("iso", "k")]                   # node-only group
+    edges = spark.createDataFrame(
+        [(f"e{i}", g, s, d) for i, (s, d, g) in enumerate(rows)],
+        ["uuid", "group_id", "source_node_uuid", "target_node_uuid"])
+    ents = spark.createDataFrame(nodes, ["uuid", "group_id"])
+    kw = dict(max_rounds=60, mode=mode)
+    got_g = sorted(map(tuple, C.label_propagation(
+        ents, edges, strategy="grouped", **kw).collect()))
+    got_r = sorted(map(tuple, C.label_propagation(
+        ents, edges, strategy="rounds", **kw).collect()))
+    assert got_g == got_r
+    # auto with a tiny cap routes group g+h (40 nodes) to rounds and the
+    # 1-node group to grouped — union must still be identical
+    got_a = sorted(map(tuple, C.label_propagation(
+        ents, edges, strategy="auto", max_group_nodes=1, **kw).collect()))
+    assert got_a == got_r
+
+
+def test_lpa_strategy_validation(spark):
+    ents, edges = _graph(spark, [("a", "b")], ["a", "b"])
+    with pytest.raises(ValueError, match="strategy"):
+        C.label_propagation(ents, edges, strategy="tree")
 
 
 def test_reference_mode_weight1_rule(spark):
