@@ -178,8 +178,17 @@ def _grouped_lpa(entities: DataFrame, proj: DataFrame, mode: str,
                              "group_id": key[0],
                              "community": [community[u] for u in nodes]})
 
-    return (entities.select("uuid", "group_id").groupBy("group_id")
-            .cogroup(proj.groupBy("group_id"))
+    # Re-alias every column on both cogroup sides: entities and proj
+    # usually share plan lineage (both derive from the same pipeline
+    # build), so their group_id columns carry the SAME attribute id and
+    # Spark's ambiguous-self-join check rejects the cogroup outright.
+    # An Alias mints fresh attribute ids at zero runtime cost (the
+    # Project collapses); the rounds executor dodges the same hazard
+    # only via its eager neighbor-projection checkpoint.
+    fresh = lambda df: df.select(                       # noqa: E731
+        [F.col(c).alias(c) for c in df.columns])
+    return (fresh(entities.select("uuid", "group_id")).groupBy("group_id")
+            .cogroup(fresh(proj).groupBy("group_id"))
             .applyInPandas(fn, "uuid string, group_id string, "
                                "community string"))
 

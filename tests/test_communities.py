@@ -76,6 +76,33 @@ def test_build_communities_rollup(spark):
     assert orphan == 0
 
 
+def test_build_communities_shared_lineage_unmaterialized(spark):
+    """materialize=False with entities/edges derived from ONE upstream
+    plan (the pipeline's normal shape): the cogroup's two sides then
+    carry identical attribute ids, which tripped Spark's
+    ambiguous-self-join check before _grouped_lpa re-aliased its inputs.
+    Regression for the grouped executor; must work on all strategies."""
+    base = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"])
+    nodes = (base.select(F.col("src").alias("uuid"))
+             .unionByName(base.select(F.col("dst").alias("uuid")))
+             .distinct())
+    ents = nodes.select(
+        "uuid", F.upper("uuid").alias("name"), F.lit("g").alias("group_id"),
+        F.concat(F.lit("summary of "), "uuid").alias("summary"))
+    edges = base.select(
+        F.concat(F.lit("e"), "src", "dst").alias("uuid"),
+        F.lit("g").alias("group_id"),
+        F.col("src").alias("source_node_uuid"),
+        F.col("dst").alias("target_node_uuid"))
+    for strategy in ("grouped", "rounds", "auto"):
+        comms, comm_edges = C.build_communities(
+            ents, edges, RUN_TS, materialize=False, strategy=strategy)
+        rows = comms.collect()
+        assert {r["n_members"] for r in rows} == {3, 2}, strategy
+        assert comm_edges.count() == 5, strategy
+
+
 def test_get_communities_by_nodes(spark):
     ents, edges = _graph(
         spark,
