@@ -682,6 +682,60 @@ WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 40
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails, phone numbers) — the standard
+    training-data scrub pass. The synthetic corpus is PII-free, so the
+    query deterministically PLANTS both kinds of PII from doc_id (an
+    email and a dashed phone appended to the text), then masks them with
+    JVM ``regexp_replace`` and reports per-doc match counts plus the full
+    scrubbed text (proving the body is never over-masked). Email masking
+    runs first; ``<EMAIL>`` contains no digits, so the phone pass cannot
+    touch it. Everything is built-in-function work — a pure narrow map
+    riding the scan, zero shuffles, zero UDFs: at 100 TB this is
+    scan-bound and embarrassingly parallel."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."))
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"[0-9]{3}-[0-9]{4}"
+    return (d.select("doc_id", planted.alias("t"))
+            .select(
+                "doc_id",
+                F.regexp_count("t", F.lit(email_re)).cast("int")
+                 .alias("n_emails"),
+                F.regexp_count("t", F.lit(phone_re)).cast("int")
+                 .alias("n_phones"),
+                F.regexp_replace(
+                    F.regexp_replace("t", email_re, "<EMAIL>"),
+                    phone_re, "<PHONE>").alias("scrubbed")))
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS INTEGER)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+FROM planted
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID histogram through the real stopword-vote heuristic
     (functions/text.lang_id) in an Arrow-batched UDF; the oracle replays
@@ -2312,6 +2366,7 @@ QUERIES = {
     "embedding_centroid": q_embedding_centroid,
     "token_count": q_token_count,
     "quality_filter": q_quality_filter,
+    "pii_scrub": q_pii_scrub,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2368,6 +2423,7 @@ ORACLES = {
     "embedding_centroid": SQL_EMBEDDING_CENTROID,
     "token_count": SQL_TOKEN_COUNT,
     "quality_filter": SQL_QUALITY_FILTER,
+    "pii_scrub": SQL_PII_SCRUB,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
