@@ -28,8 +28,11 @@ ALLOW_NESTED_LOOP = {"embedding_knn", "embedding_knn_ivf",
                                         # broadcast onto the tf join
                      "composite_search",  # same bm25 stats broadcast,
                                           # once per layer
-                     "kg_mmr"}            # 4-row query-id broadcast onto
+                     "kg_mmr",            # 4-row query-id broadcast onto
                                           # the candidate table
+                     "kg_mmr_diverse"}    # same shape at λ=0.5: 3-row
+                                          # query-id broadcast × 12
+                                          # candidates
 # Queries whose global (unpartitioned) windows rank only bounded inputs
 # (sort().limit() upstream): rrf_fusion ranks ≤200-row candidate lists,
 # build_ivf's seed ranking runs over ≤n_cells rows.
