@@ -223,14 +223,17 @@ def main():
         "metric": "kg_triples_per_sec",
         "value": pipe["triples_per_sec"],
         "unit": "triples/sec",
+        # the CLAMPED rep count actually executed (run_queries floors at
+        # 1), so the disclosed protocol can't contradict the samples
         "query_protocol": "best of "
-        + os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")
+        + str(max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))))
         + " reps per query (host noise — see BASELINE.md r4 disclosure)",
         "queries": queries,
         # machine-readable protocol version + every raw rep, so
         # round-over-round tooling can't conflate best-of-N numbers
         # with the single-rep rounds (r1-r3) — ADVICE.md r4 item 3
-        "query_reps": int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")),
+        "query_reps": max(1, int(os.environ.get(
+            "SPARK_GRAFT_QUERY_REPS", "2"))),
         "query_samples": query_samples,
         "sf": sf,
         "cpus": args.cpus,

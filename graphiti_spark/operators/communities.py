@@ -25,14 +25,19 @@ from graphiti_spark.operators.episodes import stable_id_cols
 
 MAX_COMMUNITY_ROUNDS = 20
 SUMMARY_MAX_WORDS = 250
-# Per-group node cap for the in-memory grouped LPA executor. The reference
+# Per-group caps for the in-memory grouped LPA executor. The reference
 # itself materializes one group's whole neighbor projection in a Python dict
 # (community_operations.py:44-62) before running label_propagation on it —
 # so "a group fits in one worker's memory" is the reference's own operating
-# assumption; this cap is where we stop trusting it and fall back to the
+# assumption; these caps are where we stop trusting it and fall back to the
 # iterative-join rounds. 200k nodes × (uuid + neighbor list) is ~100 MB of
-# Python objects, comfortably inside one executor-core's slice.
+# Python objects, comfortably inside one executor-core's slice. The EDGE cap
+# guards the other axis: task memory is dominated by projection rows (one
+# (label, weight) tuple each), which node count alone does not bound — a
+# 150k-node group with avg degree 2,000 is ~3×10⁸ proj rows and would OOM
+# the task while passing the node gate. 2M proj rows ≈ 200-300 MB of tuples.
 GROUPED_LPA_MAX_NODES = 200_000
+GROUPED_LPA_MAX_EDGES = 2_000_000
 
 
 def neighbor_projection(edges: DataFrame) -> DataFrame:
@@ -53,7 +58,8 @@ def neighbor_projection(edges: DataFrame) -> DataFrame:
 def label_propagation(entities: DataFrame, edges: DataFrame,
                       max_rounds: int = MAX_COMMUNITY_ROUNDS,
                       mode: str = "monotone", strategy: str = "auto",
-                      max_group_nodes: int = GROUPED_LPA_MAX_NODES
+                      max_group_nodes: int = GROUPED_LPA_MAX_NODES,
+                      max_group_edges: int = GROUPED_LPA_MAX_EDGES
                       ) -> DataFrame:
     """→ (uuid, group_id, community) with community = a stable label id.
 
@@ -97,9 +103,12 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
     * ``"rounds"``: iterative DataFrame joins, one synchronous round per
       driver-loop iteration (localCheckpoint lineage cuts). Needed only
       when a single group's graph outgrows one task's memory.
-    * ``"auto"`` (default): size-gate — groups ≤ ``max_group_nodes``
-      take the grouped path, larger ones the join rounds; results
-      unioned. The gate is one count aggregate over ``entities``.
+    * ``"auto"`` (default): size-gate — groups within ``max_group_nodes``
+      AND ``max_group_edges`` (projection rows — the term that actually
+      dominates task memory; node count alone does not bound it on dense
+      groups) take the grouped path, larger ones the join rounds;
+      results unioned. The gate is one count aggregate over ``entities``
+      plus one over the projection.
     """
     if mode not in ("monotone", "reference"):
         raise ValueError(f"unknown LPA mode {mode!r}")
@@ -110,11 +119,16 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
     proj = neighbor_projection(edges)
     if strategy == "grouped":
         return _grouped_lpa(entities, proj, mode, max_rounds)
+    big_nodes = (entities.groupBy("group_id")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .where(F.col("n") > max_group_nodes)
+                 .select("group_id"))
+    big_edges = (proj.groupBy("group_id")
+                 .agg(F.count(F.lit(1)).alias("m"))
+                 .where(F.col("m") > max_group_edges)
+                 .select("group_id"))
     big = [r["group_id"] for r in
-           (entities.groupBy("group_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_group_nodes)
-            .select("group_id").collect())]
+           big_nodes.unionByName(big_edges).distinct().collect()]
     if not big:
         return _grouped_lpa(entities, proj, mode, max_rounds)
     small = _grouped_lpa(entities.where(~F.col("group_id").isin(big)),
@@ -203,9 +217,16 @@ def _rounds_lpa(entities: DataFrame, edges: DataFrame,
               .withColumn("community", F.col("uuid"))
               .localCheckpoint(eager=True))
     for _ in range(max_rounds):
+        # join on (group_id, dst), not dst alone: groups are independent
+        # graphs (the reference projects and labels ONE group at a time,
+        # community_operations.py:44-62), so an edge row whose group_id
+        # differs from an endpoint's must not leak a vote across the
+        # boundary — the grouped executor's cogroup enforces the same
+        # rule, keeping the two executors label-identical on any input.
         nbr_votes = (proj.join(
-            labels.select(F.col("uuid").alias("dst"),
-                          F.col("community").alias("nbr_label")), "dst")
+            labels.select("group_id", F.col("uuid").alias("dst"),
+                          F.col("community").alias("nbr_label")),
+            ["group_id", "dst"])
             .select("group_id", "src", "nbr_label",
                     F.col("edge_count").alias("w")))
         if mode == "monotone":
@@ -226,10 +247,14 @@ def _rounds_lpa(entities: DataFrame, edges: DataFrame,
         # aggregate with map-side partial combine instead of a per-round
         # sort — at 2M nodes / 7.4M votes this is the difference between
         # a sort and a combine in EVERY LPA round.
-        best = (nbr.groupBy("src")
+        # keyed by (group_id, src) and merged back on both columns: a
+        # vote row whose edge-group differs from the node's own group
+        # stays a dangling row the left join never consumes (and uuids
+        # are only required unique WITHIN a group).
+        best = (nbr.groupBy("group_id", "src")
                 .agg(F.max(F.struct(F.col("votes"), F.col("nbr_label")))
                      .alias("_b"))
-                .select(F.col("src").alias("uuid"),
+                .select(F.col("src").alias("uuid"), "group_id",
                         F.col("_b.nbr_label").alias("new_label"),
                         F.col("_b.votes").alias("new_votes")))
         if mode == "monotone":
@@ -247,7 +272,7 @@ def _rounds_lpa(entities: DataFrame, edges: DataFrame,
                              F.col("community"))
                       .when(F.col("new_votes") > 1, F.col("new_label"))
                       .otherwise(F.greatest("new_label", "community")))
-        new_labels = (labels.join(best, "uuid", "left")
+        new_labels = (labels.join(best, ["uuid", "group_id"], "left")
                       .select("uuid", "group_id",
                               picked.alias("community"),
                               # convergence flag rides the same

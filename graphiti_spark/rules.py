@@ -465,6 +465,26 @@ _PRONOUNS = frozenset({"she", "he", "they", "it", "we", "i", "you",
 #: the resolvable-by-recency subset: 3rd-person personal pronouns.
 _COREF_PRONOUNS = frozenset({"she", "he", "they", "her", "him", "them"})
 _LEAD_NAME = re.compile(rf"^(?P<n>{_NAME})\b")
+#: question leads that glue into bogus _LEAD_NAME matches ("Does Alice
+#: Smith know?" → name "Does Alice Smith"). Only a question led by one
+#: of these (auxiliary / wh-word) is barred as an antecedent source; a
+#: NAME-led question ("Alice Smith arrived?") still carries its real
+#: subject, which stays antecedent-eligible — blocking every
+#: interrogative would silently drop the coref chain that follows it.
+_Q_LEADS = frozenset({
+    "do", "does", "did", "is", "are", "was", "were", "am", "be",
+    "can", "could", "will", "would", "shall", "should", "may", "might",
+    "must", "have", "has", "had",
+    "who", "what", "where", "when", "why", "how", "which", "whose",
+    "whom"})
+
+
+def _q_blocked(sent: str, is_q: bool) -> bool:
+    """True when a question's lead word makes it ineligible as an
+    antecedent source (auxiliary/wh-led interrogative)."""
+    if not is_q:
+        return False
+    return sent.split(" ", 1)[0].rstrip(",?").lower() in _Q_LEADS
 #: lowercase OBJECT pronouns never satisfy the capitalized _NAME slot, so
 #: they are resolved by textual substitution before matching ("Acme
 #: employs her" → "Acme employs <antecedent>"); subject pronouns are
@@ -505,8 +525,9 @@ def _seed_antecedent(prev_context) -> str:
                         else clean_text(speaker))
         for sent, is_q in reversed(sentences_marked(body)):
             # same question guard as the forward scan: an
-            # auxiliary-led interrogative is not an antecedent source
-            if is_q or not sent[:1].isupper():
+            # auxiliary/wh-led interrogative is not an antecedent source
+            # (name-led questions keep their subject)
+            if _q_blocked(sent, is_q) or not sent[:1].isupper():
                 continue
             if speaker_name and sent.startswith("I "):
                 return (f"{speaker_name[:1].upper()}{speaker_name[1:]}")
@@ -547,11 +568,11 @@ def _forward_antecedent(sents, si: int) -> str:
     scan runs only for an otherwise-unresolvable pronoun, so
     pronoun-free (and backward-resolvable) content never pays for it."""
     for s, q in sents[si + 1:]:
-        # questions never assert, so they never supply antecedents
-        # either: "Does Alice Smith know?" must not mint a name
-        # "Does Alice Smith" (the auxiliary lead is capitalized and
-        # would pass _LEAD_NAME)
-        if q or not s[:1].isupper():
+        # an auxiliary/wh-led question must not mint a name: "Does
+        # Alice Smith know?" would glue into "Does Alice Smith" (the
+        # capitalized auxiliary passes _LEAD_NAME). A NAME-led question
+        # ("Alice Smith arrived?") keeps its subject.
+        if _q_blocked(s, q) or not s[:1].isupper():
             continue
         head, _, rest = s.partition(" ")
         if head.rstrip(",") in _LEAD_STRIP and rest:
@@ -893,11 +914,12 @@ def extract_all(content: str, ts: datetime | None,
       # untouched (chains: "Alice … . She … . She … ." all resolve to
       # Alice; "The weather …" must not make "The" an antecedent). The
       # isupper guard keeps the all-lowercase hot path (distractor
-      # turns) to one C-level char test. Questions are excluded the
-      # same way as in the forward/seed scans: "Does Alice Smith
-      # know?" leads with a capitalized auxiliary that _LEAD_NAME
-      # would glue into a bogus name "Does Alice Smith".
-      if not is_q and ante_src[0].isupper():
+      # turns) to one C-level char test. Auxiliary/wh-led questions are
+      # excluded the same way as in the forward/seed scans: "Does Alice
+      # Smith know?" leads with a capitalized auxiliary that _LEAD_NAME
+      # would glue into a bogus name "Does Alice Smith"; a name-led
+      # question keeps its subject as the antecedent.
+      if not _q_blocked(ante_src, is_q) and ante_src[0].isupper():
           lm = _LEAD_NAME.match(ante_src)
           if lm:
               lead = normalize_name(lm.group("n"))

@@ -127,6 +127,14 @@ out = {
     "cpus": CPUS,
 }
 print(json.dumps(out))
-with open(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_GRAPH.json"), "w") as f:
-    json.dump(out, f, indent=1)
+# merge-update: exp_lpa_skew.py records its result under other keys of
+# the same file — a wholesale rewrite here would silently destroy them
+path = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_GRAPH.json")
+blob = {}
+if os.path.exists(path):
+    with open(path) as f:
+        blob = json.load(f)
+blob.update(out)
+with open(path, "w") as f:
+    json.dump(blob, f, indent=1)

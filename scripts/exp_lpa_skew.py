@@ -46,6 +46,11 @@ N_BIG = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
 CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 CSIZE = 20
 assert N_BIG > GROUPED_LPA_MAX_NODES, "big group must exceed the gate"
+# the closed-form check (community = own cluster's max uuid) and the
+# group layout both assume no 20-node cluster straddles the
+# small/big-population boundary
+assert N_SMALL % CSIZE == 0, "N_SMALL must be a multiple of CSIZE"
+assert N_BIG % CSIZE == 0, "N_BIG must be a multiple of CSIZE"
 
 spark = get_spark(app="exp_lpa_skew", cores=CPUS,
                   shuffle_partitions=max(8, min(CPUS, 16)))

@@ -279,6 +279,50 @@ def test_grouped_executor_equals_join_rounds(spark, mode):
     assert got_a == got_r
 
 
+@pytest.mark.parametrize("mode", ["monotone", "reference"])
+def test_cross_group_edge_never_leaks_votes(spark, mode):
+    """Groups are independent graphs (the reference labels one group at
+    a time): an edge row whose group_id differs from an endpoint's must
+    not carry a vote across the boundary, in EITHER executor (r5 review
+    finding — the rounds executor used to join neighbor labels on uuid
+    alone and leaked such votes). x sits alone in group g2; a g1 edge
+    a→x must leave x labeled by itself and not pull a's label onto x."""
+    ents = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("x", "g2")], ["uuid", "group_id"])
+    edges = spark.createDataFrame(
+        [("e1", "g1", "a", "b"),     # in-group: a,b merge
+         ("e2", "g1", "a", "x")],    # cross-group: must be inert
+        ["uuid", "group_id", "source_node_uuid", "target_node_uuid"])
+    expect = {("a", "g1", "b"), ("b", "g1", "b"), ("x", "g2", "x")}
+    for strategy in ("grouped", "rounds"):
+        got = {tuple(r) for r in C.label_propagation(
+            ents, edges, strategy=strategy, mode=mode).collect()}
+        assert got == expect, strategy
+
+
+def test_auto_gate_routes_on_edge_volume(spark):
+    """The auto size-gate must consider projection-row volume, not just
+    node count: a node-small but edge-heavy group routes to the rounds
+    executor (here forced with a tiny max_group_edges) and the union is
+    still label-exact."""
+    ns = [f"n{i}" for i in range(6)]
+    ents = spark.createDataFrame(
+        [(n, "dense") for n in ns] + [("p", "tiny"), ("q", "tiny")],
+        ["uuid", "group_id"])
+    dense = [(f"d{i}{j}", "dense", ns[i], ns[j])
+             for i in range(6) for j in range(i + 1, 6)]   # K6: 15 edges
+    edges = spark.createDataFrame(
+        dense + [("t1", "tiny", "p", "q")],
+        ["uuid", "group_id", "source_node_uuid", "target_node_uuid"])
+    kw = dict(mode="monotone", max_rounds=30)
+    ref = sorted(map(tuple, C.label_propagation(
+        ents, edges, strategy="rounds", **kw).collect()))
+    # K6 projects to 30 rows > 20; 'tiny' projects to 2 rows <= 20
+    got = sorted(map(tuple, C.label_propagation(
+        ents, edges, strategy="auto", max_group_edges=20, **kw).collect()))
+    assert got == ref
+
+
 def test_lpa_strategy_validation(spark):
     ents, edges = _graph(spark, [("a", "b")], ["a", "b"])
     with pytest.raises(ValueError, match="strategy"):

@@ -807,6 +807,27 @@ def test_question_is_never_an_antecedent_source():
     assert ("Alice Smith", "WORKS_AT", "Acme Corp") in _spo(t)
 
 
+def test_name_led_question_still_supplies_antecedent():
+    # The question guard is NARROW (auxiliary/wh-led only): a question
+    # whose lead is a real name still carries its subject, so the coref
+    # chain after it must resolve — blocking every interrogative would
+    # silently drop these triples (r5 review finding).
+    t = rules.extract_triples(
+        "user: Alice Smith arrived? She works at Acme Corp.", TS)
+    assert ("Alice Smith", "WORKS_AT", "Acme Corp") in _spo(t)
+    # cross-episode seed variant
+    m, t = rules.extract_all(
+        "user: She works at Acme Corp.", TS,
+        prev_context=["bob: Alice Smith arrived?"])
+    assert ("Alice Smith", "WORKS_AT", "Acme Corp") in _spo(t)
+    # wh-led questions stay blocked ("Who" must not become a name)
+    m, t = rules.extract_all(
+        "user: She works at Acme Corp.", TS,
+        prev_context=["bob: Who is Alice Smith?"])
+    assert "Who" not in {x["name"] for x in m}
+    assert t == []
+
+
 def test_headline_apposition_normalizes_to_copular():
     for dash in ("—", "–", "-"):
         t = rules.extract_triples(
