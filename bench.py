@@ -46,8 +46,8 @@ HEADLINE = [
     # round-4 additions
     "media_decode", "kg_anaphora", "kg_context_coref", "kg_speech_acts",
     "kg_mmr_diverse", "kg_communities_ref", "embedding_knn_ivf",
-    # round-5 addition
-    "pii_scrub",
+    # round-5 additions
+    "pii_scrub", "quality_repetition", "stratified_sample", "kg_pagerank",
 ]
 
 

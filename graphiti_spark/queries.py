@@ -2344,6 +2344,147 @@ FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
 """
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    top-unigram and top-bigram counts, integer-exact so the oracle hash
+    can't drift on float division. Everything runs in JVM higher-order
+    array lambdas on the already-split token array — a pure narrow map
+    riding the parquet scan (zero shuffles, zero UDFs, O(tokens·distinct)
+    per row with conversation-sized rows), so at 100 TB it is scan-bound
+    exactly like pii_scrub. ``repetitive`` applies the standard
+    top-word > 20% / top-bigram > 18% cut via integer cross-multiplication
+    (5·top_w > n  ⇔  top_w/n > 0.2)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.expr(_TOKS)
+    bg = F.zip_with(F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    top = lambda arr: F.array_max(F.transform(
+        F.array_distinct(arr),
+        lambda x: F.size(F.filter(arr, lambda y: y == x))))
+    return (d.select("doc_id", F.size(w).alias("n_words"),
+                     top(w).alias("top_word_n"),
+                     top(bg).alias("top_bigram_n"))
+            .select("doc_id",
+                    F.col("n_words").cast("int").alias("n_words"),
+                    F.col("top_word_n").cast("int").alias("top_word_n"),
+                    F.col("top_bigram_n").cast("int").alias("top_bigram_n"),
+                    ((5 * F.col("top_word_n") > F.col("n_words"))
+                     | (50 * F.col("top_bigram_n") > 9 * F.col("n_words")))
+                    .alias("repetitive")))
+
+
+SQL_QUALITY_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, w,
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM t
+), c AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_max(list_transform(list_distinct(w),
+                  x -> len(list_filter(w, y -> y = x)))) AS top_word_n,
+         list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x)))) AS top_bigram_n
+  FROM b
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       CAST(top_word_n AS INTEGER) AS top_word_n,
+       CAST(top_bigram_n AS INTEGER) AS top_bigram_n,
+       (5 * top_word_n > n_words OR 50 * top_bigram_n > 9 * n_words)
+         AS repetitive
+FROM c
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the language-rebalancing pass
+    every multilingual training-data pipeline runs. Keep-rates per ``lang``
+    stratum (en 37%, others 11%) are applied via md5(doc_id) — a pure
+    narrow map with NO shuffle and NO RNG state, so the same row is kept
+    on every run, at every parallelism, resumable mid-job (contrast
+    ``df.sample``, whose per-partition seed changes under repartitioning).
+    At 100 TB: scan-bound, embarrassingly parallel, and the sample is
+    reproducible from the row alone."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 100)
+    rate = F.when(F.col("lang") == "en", F.lit(37)).otherwise(F.lit(11))
+    return (d.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+            .where(F.col("bucket") < rate))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang,
+       CAST(CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 100 AS INTEGER)
+         AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                           1, 8)) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 37 ELSE 11 END
+"""
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the per-conversation KG (operators/graph.pagerank):
+    2 synchronous rounds, damping 0.85, per-``group_id`` graphs ranked
+    independently in one job set. On each derived 3-entity star (person —
+    org, person — place, symmetrized) the iteration is closed-form — with
+    base b=(1-0.85)/3: leaves r1 = b + 0.85·(1/3)/2, center r2 = b +
+    0.85·2·r1, leaf r2 = b + 0.85·(b + 0.85·2/3)/2 — which the oracle
+    states directly with the SAME arithmetic expression shape (ranks
+    rounded to 9 dp on both sides). Arbitrary-graph equivalence vs a pure
+    Python reference loop is pytest-gated (tests/test_graph.py)."""
+    from graphiti_spark.operators.graph import pagerank
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .where(F.col("c_custkey") < 300)
+            .select(
+                F.concat(F.lit("conv"), F.col("c_custkey").cast("string"))
+                 .alias("group_id"),
+                F.regexp_replace("c_name", "#", "").alias("person"),
+                F.col("n_name").alias("org"),
+                F.initcap(F.lower("c_mktsegment")).alias("place")))
+    edges = (base.select("group_id", F.col("person").alias("src"),
+                         F.col("org").alias("dst"))
+             .union(base.select("group_id", F.col("person").alias("src"),
+                                F.col("place").alias("dst"))))
+    pr = pagerank(edges, iters=2, damping=0.85, key="group_id",
+                  src="src", dst="dst")
+    return pr.select("group_id", F.col("node").alias("name"),
+                     F.round("rank", 9).alias("rank"))
+
+
+SQL_KG_PAGERANK = """
+WITH base AS (
+  SELECT 'conv' || CAST(c_custkey AS VARCHAR) AS group_id,
+         replace(c_name, '#', '') AS person, n.n_name AS org,
+         upper(substr(lower(c_mktsegment), 1, 1))
+           || substr(lower(c_mktsegment), 2) AS place
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE c_custkey < 300
+), r AS (
+  SELECT (1 - 0.85) / 3
+         + 0.85 * 2 * ((1 - 0.85) / 3 + 0.85 * (1.0 / 3) / 2) AS center2,
+         (1 - 0.85) / 3
+         + 0.85 * (((1 - 0.85) / 3 + 0.85 * (1.0 / 3 + 1.0 / 3)) / 2)
+           AS leaf2
+)
+SELECT group_id, person AS name, round(r.center2, 9) AS rank
+FROM base, r
+UNION ALL
+SELECT group_id, org AS name, round(r.leaf2, 9) AS rank FROM base, r
+UNION ALL
+SELECT group_id, place AS name, round(r.leaf2, 9) AS rank FROM base, r
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2367,6 +2508,9 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
+    "quality_repetition": q_quality_repetition,
+    "stratified_sample": q_stratified_sample,
+    "kg_pagerank": q_kg_pagerank,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2424,6 +2568,9 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "quality_filter": SQL_QUALITY_FILTER,
     "pii_scrub": SQL_PII_SCRUB,
+    "quality_repetition": SQL_QUALITY_REPETITION,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "kg_pagerank": SQL_KG_PAGERANK,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,

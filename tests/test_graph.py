@@ -1,0 +1,86 @@
+"""PageRank operator (operators/graph.py) vs a pure-Python reference loop."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.graph import pagerank
+
+
+def ref_pagerank(edges, iters, damping=0.85, undirected=True):
+    """Textbook synchronous PageRank on a python edge list [(src, dst)]."""
+    es = set(edges)
+    if undirected:
+        es |= {(d, s) for s, d in es}
+    nodes = sorted({n for e in es for n in e})
+    n = len(nodes)
+    deg = {v: 0 for v in nodes}
+    for s, _ in es:
+        deg[s] += 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0.0 for v in nodes}
+        for s, d in es:
+            inc[d] += rank[s] / deg[s]
+        rank = {v: (1.0 - damping) / n + damping * inc[v] for v in nodes}
+    return rank
+
+
+def _run(spark, edges, key_rows, **kw):
+    df = spark.createDataFrame(key_rows, "group_id string, src string, dst string")
+    out = pagerank(df, src="src", dst="dst", **kw)
+    return {(r["group_id"], r["node"]): r["rank"] for r in out.collect()}
+
+
+def test_matches_reference_random_graph(spark):
+    rng = random.Random(7)
+    edges = sorted({(f"n{rng.randrange(12)}", f"n{rng.randrange(12)}")
+                    for _ in range(30)})
+    edges = [(s, d) for s, d in edges if s != d]
+    got = _run(spark, edges, [("g", s, d) for s, d in edges], iters=6)
+    want = ref_pagerank(edges, iters=6)
+    assert set(got) == {("g", v) for v in want}
+    for (g, v), r in got.items():
+        assert r == pytest.approx(want[v], abs=1e-12)
+
+
+def test_per_key_graphs_are_independent(spark):
+    rows = [("a", "x", "y"), ("a", "x", "z"),   # star in group a
+            ("b", "x", "y")]                     # pair in group b, same names
+    got = _run(spark, None, rows, iters=3)
+    want_a = ref_pagerank([("x", "y"), ("x", "z")], iters=3)
+    want_b = ref_pagerank([("x", "y")], iters=3)
+    for v, r in want_a.items():
+        assert got[("a", v)] == pytest.approx(r, abs=1e-12)
+    for v, r in want_b.items():
+        assert got[("b", v)] == pytest.approx(r, abs=1e-12)
+
+
+def test_rank_mass_conserved_undirected(spark):
+    rows = [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "a"), ("g", "c", "d")]
+    got = _run(spark, None, rows, iters=8)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_directed_dangling_node_keeps_base(spark):
+    # d has no out-edges in directed mode: its mass drops, others' ranks
+    # still match the same simplification in the reference loop.
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    got = _run(spark, None, [("g", s, d) for s, d in edges],
+               iters=5, undirected=False)
+    want = ref_pagerank(edges, iters=5, undirected=False)
+    for v, r in want.items():
+        assert got[("g", v)] == pytest.approx(r, abs=1e-12)
+
+
+def test_global_mode_without_key(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = pagerank(df, iters=4, key=None, src="src", dst="dst")
+    assert set(out.columns) == {"node", "rank"}
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    want = ref_pagerank([("a", "b"), ("b", "c")], iters=4)
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, abs=1e-12)
