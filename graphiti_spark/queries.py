@@ -2485,6 +2485,91 @@ SELECT group_id, place AS name, round(r.leaf2, 9) AS rank FROM base, r
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join (operators/asof.asof_join): each purchase event
+    picks the single most recent click by the same user at-or-before its
+    timestamp — the reference's "which edge version was valid at this
+    episode's time" shape (temporal_operations.py) generalized to any
+    event log. ONE hash shuffle on user_id resolves it (union + running
+    ``last(ignorenulls)`` window) — no per-key fan-out join, so hot users
+    cost O(their rows) instead of O(purchases × clicks) at 100 TB. The
+    oracle is DuckDB's native ASOF LEFT JOIN; (user_id, ts) is unique
+    among clicks in this corpus so no tie-break ambiguity between engines
+    (tie semantics are pytest-gated in tests/test_asof.py)."""
+    from graphiti_spark.operators.asof import asof_join
+    ev = load(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts", "value"))
+    c = (ev.where(F.col("event_type") == "click")
+         .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    out = asof_join(p, c, on=["user_id"])
+    return out.select("event_id", "user_id", "ts", "value",
+                      F.col("r_click_id").alias("click_id"),
+                      F.col("r_ts").alias("click_ts"))
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the n-gram-overlap pass every training
+    corpus runs before release. The "benchmark" is a deterministic slice
+    (doc_id % 97 = 0, standing in for an eval suite); its distinct
+    3-grams form the SMALL side of a broadcast equi-join against the
+    corpus's exploded distinct 3-grams, so at 100 TB the plan is one
+    codegen'd scan + broadcast hash join + an agg over only the matched
+    rows — the corpus is never shuffled, and the explode is a narrow op
+    riding the scan. Output: each contaminated doc with its count of
+    distinct benchmark 3-grams (integer-exact for the value hash)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.expr(_TOKS)
+    grams = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(3)))))
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("gs"))
+    bench = (g.where(F.col("doc_id") % 97 == 0)
+             .select(F.explode("gs").alias("gram")).distinct())
+    return (g.where(F.col("doc_id") % 97 != 0)
+            .select("doc_id", F.explode("gs").alias("gram"))
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("matched_ngrams")))
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+         ELSE [] END AS gs
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS matched_ngrams
+FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 != 0) x
+JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2511,6 +2596,8 @@ QUERIES = {
     "quality_repetition": q_quality_repetition,
     "stratified_sample": q_stratified_sample,
     "kg_pagerank": q_kg_pagerank,
+    "events_asof_join": q_events_asof_join,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2571,6 +2658,8 @@ ORACLES = {
     "quality_repetition": SQL_QUALITY_REPETITION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "decontaminate": SQL_DECONTAMINATE,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
