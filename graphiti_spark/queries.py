@@ -2570,6 +2570,67 @@ GROUP BY doc_id
 """
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.pack_sequences): concat-and-chunk
+    packing coordinates for 2048-token training sequences — the last step
+    of every pre-training pipeline. Docs are sharded by (lang, md5 bucket)
+    so the window cumsum is the ONLY shuffle and no reducer sees more than
+    one shard (sequences never cross shards — the practice that keeps
+    shards independently writable/resumable at 100 TB). Token cost reuses
+    the BPE-ish model from q_token_count; every output column is BIGINT so
+    the value hash is exact. The oracle replays the same window prefix sum
+    and floor divisions in SQL."""
+    from graphiti_spark.operators.packing import pack_sequences
+    d = load(spark, sf_dir, "documents")
+    pieces = "regexp_extract_all(text, '[A-Za-z0-9]+|[^\\\\sA-Za-z0-9]', 0)"
+    per_doc = F.expr(
+        f"aggregate({pieces}, CAST(0 AS BIGINT), (acc, p) -> acc + "
+        "CASE WHEN p RLIKE '^[A-Za-z0-9]' "
+        "THEN CAST((length(p) + 3) DIV 4 AS BIGINT) ELSE CAST(1 AS BIGINT) END)")
+    bucket = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 4)
+    base = d.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("/"), bucket.cast("string"))
+         .alias("shard"),
+        per_doc.alias("doc_tokens"))
+    out = pack_sequences(base, token_col="doc_tokens", budget=2048,
+                         order_cols=["doc_id"], shard_col="shard")
+    return out.select("doc_id", "shard", "doc_tokens", "start_tok",
+                      "first_seq", "last_seq", "n_seqs", "seq_offset")
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH per_doc AS (
+  SELECT doc_id,
+         lang || '/' || CAST(
+           CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) % 4 AS VARCHAR) AS shard,
+         CAST(list_sum(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'),
+           p -> CASE WHEN regexp_matches(p, '^[A-Za-z0-9]')
+                     THEN (length(p) + 3) // 4 ELSE 1 END)) AS BIGINT)
+           AS doc_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, shard, doc_tokens,
+         CAST(COALESCE(SUM(doc_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM per_doc
+)
+SELECT doc_id, shard, doc_tokens, start_tok,
+       start_tok // 2048 AS first_seq,
+       greatest(start_tok + doc_tokens - 1, start_tok) // 2048 AS last_seq,
+       greatest(start_tok + doc_tokens - 1, start_tok) // 2048
+         - start_tok // 2048 + 1 AS n_seqs,
+       start_tok % 2048 AS seq_offset
+FROM s
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2598,6 +2659,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "events_asof_join": q_events_asof_join,
     "decontaminate": q_decontaminate,
+    "sequence_pack": q_sequence_pack,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2660,6 +2722,7 @@ ORACLES = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "decontaminate": SQL_DECONTAMINATE,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
