@@ -2631,6 +2631,48 @@ FROM s
 """
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture weights (the α=0.5 sampling rule
+    of multilingual-BERT/XLM): per-source weight ∝ n_docs^0.5, normalized;
+    upsample_factor = weight / natural share. Plan at 100 TB: one
+    map-side-combined count per source (dimension-sized result), then a
+    broadcast of the 1-row totals — the corpus is scanned once and never
+    shuffled. Hash-exactness: sqrt is quantized to floor(sqrt(n)·10⁶) so
+    every SUM is over integers (order-free); the remaining divisions form
+    a fixed IEEE expression tree over integer inputs, identical in both
+    engines, rounded to 9 dp."""
+    d = load(spark, sf_dir, "documents")
+    c = (d.groupBy("source").agg(F.count("*").alias("n_docs"))
+         .withColumn("q_w", F.floor(F.sqrt(F.col("n_docs").cast("double"))
+                                    * 1e6).cast("bigint")))
+    tot = c.agg(F.sum("q_w").alias("tq"),
+                F.sum("n_docs").alias("tn"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(F.col("q_w") / F.col("tq"), 9)
+                     .alias("mix_weight"),
+                    F.round((F.col("q_w") / F.col("tq"))
+                            / (F.col("n_docs") / F.col("tn")), 9)
+                     .alias("upsample_factor")))
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS q_w
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(q_w) AS BIGINT) AS tq, CAST(sum(n_docs) AS BIGINT) AS tn
+  FROM c
+)
+SELECT source, n_docs,
+       round(CAST(q_w AS DOUBLE) / tq, 9) AS mix_weight,
+       round((CAST(q_w AS DOUBLE) / tq)
+             / (CAST(n_docs AS DOUBLE) / tn), 9) AS upsample_factor
+FROM c, t
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2660,6 +2702,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "decontaminate": q_decontaminate,
     "sequence_pack": q_sequence_pack,
+    "domain_mixture": q_domain_mixture,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2723,6 +2766,7 @@ ORACLES = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "decontaminate": SQL_DECONTAMINATE,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "domain_mixture": SQL_DOMAIN_MIXTURE,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
