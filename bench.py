@@ -48,7 +48,7 @@ HEADLINE = [
     "kg_mmr_diverse", "kg_communities_ref", "embedding_knn_ivf",
     # round-5 additions
     "pii_scrub", "quality_repetition", "stratified_sample", "kg_pagerank",
-    "events_asof_join", "decontaminate",
+    "events_asof_join", "decontaminate", "sequence_pack", "domain_mixture",
 ]
 
 

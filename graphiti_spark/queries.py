@@ -2673,6 +2673,72 @@ FROM c, t
 """
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """The end-step of near-dup dedup: candidate PAIRS → clusters →
+    one canonical keeper per cluster. Reuses the Jaccard≥0.5 pairs of
+    q_dedup_jaccard, runs the production hash-min connected-components
+    operator (operators/dedup.connected_components — O(diameter) rounds,
+    and near-dup clusters have tiny diameter), canonical = numeric-min
+    doc_id (ids are zero-padded so the operator's lexicographic min IS the
+    numeric min). The oracle computes the same fixpoint via a recursive
+    transitive-closure CTE — the first general-graph CC to be
+    oracle-checked, complementing kg_build_edges' closed-form input.
+    Output: every clustered doc with its canonical id + keeper flag."""
+    from graphiti_spark.operators.dedup import connected_components
+    pairs = (q_dedup_jaccard(spark, sf_dir)
+             .select(F.lpad(F.col("doc_a").cast("string"), 12, "0")
+                     .alias("uuid_a"),
+                     F.lpad(F.col("doc_b").cast("string"), 12, "0")
+                     .alias("uuid_b")))
+    verts = (pairs.select(F.col("uuid_a").alias("uuid"))
+             .union(pairs.select("uuid_b")).distinct())
+    cc = connected_components(verts, pairs)
+    return (cc.select(F.col("uuid").cast("bigint").alias("doc_id"),
+                      F.col("component").cast("bigint")
+                       .alias("canonical_id"))
+            .withColumn("is_keeper",
+                        F.col("doc_id") == F.col("canonical_id")))
+
+
+SQL_DEDUP_RESOLVE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), ex0 AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+), keep AS (
+  SELECT tok FROM ex0 GROUP BY tok HAVING count(*) <= {JACCARD_MAX_DF}
+), ex AS (
+  SELECT doc_id, ex0.tok FROM ex0 JOIN keep ON ex0.tok = keep.tok
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM ex GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT p.doc_a, p.doc_b, p.shared, sa.n_toks AS na, sb.n_toks AS nb
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+), near AS (
+  SELECT doc_a, doc_b FROM sized
+  WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION SELECT doc_b, doc_a FROM near
+), reach (a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS canonical_id,
+       a = least(a, min(b)) AS is_keeper
+FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2703,6 +2769,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sequence_pack": q_sequence_pack,
     "domain_mixture": q_domain_mixture,
+    "dedup_resolve": q_dedup_resolve,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2767,6 +2834,7 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
+    "dedup_resolve": SQL_DEDUP_RESOLVE,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
