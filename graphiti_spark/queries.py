@@ -2349,8 +2349,8 @@ def q_quality_repetition(spark, sf_dir):
     top-unigram and top-bigram counts, integer-exact so the oracle hash
     can't drift on float division. Everything runs in JVM higher-order
     array lambdas on the already-split token array — a pure narrow map
-    riding the parquet scan (zero shuffles, zero UDFs, O(tokens·distinct)
-    per row with conversation-sized rows), so at 100 TB it is scan-bound
+    riding the parquet scan (zero shuffles, zero UDFs, O(n log n) per row
+    via sorted-run-length max multiplicity), so at 100 TB it is scan-bound
     exactly like pii_scrub. ``repetitive`` applies the standard
     top-word > 20% / top-bigram > 18% cut via integer cross-multiplication
     (5·top_w > n  ⇔  top_w/n > 0.2)."""
@@ -2359,12 +2359,26 @@ def q_quality_repetition(spark, sf_dir):
     bg = F.zip_with(F.slice(w, 1, F.size(w) - 1),
                     F.slice(w, 2, F.size(w) - 1),
                     lambda a, b: F.concat(a, F.lit(" "), b))
-    top = lambda arr: F.array_max(F.transform(
-        F.array_distinct(arr),
-        lambda x: F.size(F.filter(arr, lambda y: y == x))))
-    return (d.select("doc_id", F.size(w).alias("n_words"),
-                     top(w).alias("top_word_n"),
-                     top(bg).alias("top_bigram_n"))
+
+    # Max multiplicity = longest run in the sorted array: O(n log n)
+    # instead of the O(n·distinct) filter-per-distinct-token scan (17 s →
+    # ~1 s at sf0.1). NULL on empty input preserves the old array_max
+    # semantics (only reachable for bigrams of 1-word docs).
+    def top(arr_sql):
+        return F.expr(
+            f"IF(size({arr_sql}) = 0, CAST(NULL AS BIGINT), "
+            f"aggregate(array_sort({arr_sql}), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+            "'best', 0L), "
+            "(a, x) -> named_struct('prev', x, "
+            "'run', IF(a.prev <=> x, a.run + 1, 1L), "
+            "'best', greatest(a.best, IF(a.prev <=> x, a.run + 1, 1L))), "
+            "a -> a.best))")
+
+    return (d.select("doc_id", F.expr(_TOKS).alias("w"), bg.alias("bg"))
+            .select("doc_id", F.size("w").alias("n_words"),
+                    top("w").alias("top_word_n"),
+                    top("bg").alias("top_bigram_n"))
             .select("doc_id",
                     F.col("n_words").cast("int").alias("n_words"),
                     F.col("top_word_n").cast("int").alias("top_word_n"),
@@ -2532,14 +2546,19 @@ def q_decontaminate(spark, sf_dir):
     riding the scan. Output: each contaminated doc with its count of
     distinct benchmark 3-grams (integer-exact for the value hash)."""
     d = load(spark, sf_dir, "documents")
-    w = F.expr(_TOKS)
-    grams = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(3)))))
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", grams.alias("gs"))
+    # Trigrams via a zip_with chain over the MATERIALIZED token column:
+    # 6.5× faster than transform(sequence, i -> slice(w, i, 3)), which
+    # re-walks the array per element (measured 4.8 s → 0.7 s at sf0.1).
+    dw = d.select("doc_id", F.expr(_TOKS).alias("w"))
+    w, n = F.col("w"), F.size("w")
+    tri = F.zip_with(
+        F.zip_with(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        F.slice(w, 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c))
+    grams = F.when(n >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>"))
+    g = dw.select("doc_id", grams.alias("gs"))
     bench = (g.where(F.col("doc_id") % 97 == 0)
              .select(F.explode("gs").alias("gram")).distinct())
     return (g.where(F.col("doc_id") % 97 != 0)
