@@ -2758,6 +2758,58 @@ FROM reach GROUP BY a
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Corpus profiling: EXACT nearest-rank p50/p90/p99 of doc length per
+    source — the distribution check every data pipeline runs before and
+    after filtering. Histogram method: only the (source, n_chars)
+    histogram is shuffled (bounded by the value domain, not the corpus),
+    then a cumulative window over distinct values and the quantile is the
+    min value whose cumulative count reaches ceil(q·n) — all integer
+    arithmetic, so hash-exact, and scalable where a per-row total-order
+    window would serialize a hot source. Nearest-rank idx via
+    ceil(n·q) = (n·q% + 99) DIV 100."""
+    d = load(spark, sf_dir, "documents")
+    h = d.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    wcum = (Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = h.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = h.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    j = cum.join(F.broadcast(tot), "source")
+
+    def pick(pct):
+        idx = F.expr(f"(n_docs * {pct} + 99) DIV 100")
+        return F.min(F.when(F.col("cum") >= idx, F.col("n_chars")))
+
+    return (j.groupBy("source")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 pick(50).alias("p50_chars"),
+                 pick(90).alias("p90_chars"),
+                 pick(99).alias("p99_chars")))
+
+
+SQL_LENGTH_QUANTILES = """
+WITH h AS (
+  SELECT source, n_chars, count(*) AS cnt
+  FROM documents GROUP BY source, n_chars
+), c AS (
+  SELECT source, n_chars, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n_docs
+  FROM h
+)
+SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       min(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN n_chars END)
+         AS p50_chars,
+       min(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN n_chars END)
+         AS p90_chars,
+       min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN n_chars END)
+         AS p99_chars
+FROM c GROUP BY source
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2789,6 +2841,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "domain_mixture": q_domain_mixture,
     "dedup_resolve": q_dedup_resolve,
+    "length_quantiles": q_length_quantiles,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2854,6 +2907,7 @@ ORACLES = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "dedup_resolve": SQL_DEDUP_RESOLVE,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
