@@ -2810,6 +2810,54 @@ FROM c GROUP BY source
 """
 
 
+def q_keyword_tfidf(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (operators/keywords.extract_keywords):
+    tf is computed map-side via sorted-run-length on each row's own token
+    array (zero shuffles — the q_quality_repetition idiom), df is one
+    vocabulary-sized groupBy that AQE broadcasts into the scoring join,
+    N is a 1-row broadcast (the bm25/domain_mixture pattern), and top-k
+    is a row_number window partitioned by the unskewed doc id. Scores are
+    rounded to 6 dp BEFORE ranking on both engines (absorbs libm-vs-JVM
+    ln ulp, the bm25_search precedent); ties break on the term string so
+    the top-k set is a total order and hash-stable."""
+    from graphiti_spark.operators.keywords import extract_keywords
+    d = load(spark, sf_dir, "documents")
+    return extract_keywords(d, text_col="text", id_col="doc_id", top_k=5)
+
+
+SQL_KEYWORD_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> length(x) >= 2 AND x NOT IN
+             ('the','a','an','and','or','of','to','in','is','on',
+              'for','with','as','at','by','it','that','this')) AS tl
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(tl) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+           AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2842,6 +2890,7 @@ QUERIES = {
     "domain_mixture": q_domain_mixture,
     "dedup_resolve": q_dedup_resolve,
     "length_quantiles": q_length_quantiles,
+    "keyword_tfidf": q_keyword_tfidf,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2908,6 +2957,7 @@ ORACLES = {
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "dedup_resolve": SQL_DEDUP_RESOLVE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "keyword_tfidf": SQL_KEYWORD_TFIDF,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,

@@ -30,9 +30,15 @@ ALLOW_NESTED_LOOP = {"embedding_knn", "embedding_knn_ivf",
                                           # once per layer
                      "kg_mmr",            # 4-row query-id broadcast onto
                                           # the candidate table
-                     "kg_mmr_diverse"}    # same shape at λ=0.5: 3-row
+                     "kg_mmr_diverse",    # same shape at λ=0.5: 3-row
                                           # query-id broadcast × 12
                                           # candidates
+                     "domain_mixture",    # 1-row (tq, tn) totals
+                                          # broadcast onto the per-source
+                                          # counts (dimension-sized)
+                     "keyword_tfidf"}     # 1-row corpus-size N broadcast
+                                          # onto the scored (doc, term)
+                                          # rows
 # Queries whose global (unpartitioned) windows rank only bounded inputs
 # (sort().limit() upstream): rrf_fusion ranks ≤200-row candidate lists,
 # build_ivf's seed ranking runs over ≤n_cells rows.
