@@ -49,7 +49,7 @@ HEADLINE = [
     # round-5 additions
     "pii_scrub", "quality_repetition", "stratified_sample", "kg_pagerank",
     "events_asof_join", "decontaminate", "sequence_pack", "domain_mixture",
-    "length_quantiles", "keyword_tfidf",
+    "length_quantiles", "keyword_tfidf", "quality_logprob",
 ]
 
 

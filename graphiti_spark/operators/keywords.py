@@ -9,13 +9,12 @@ Plan shape, sized for a 100 TB corpus:
 * **tf is computed map-side, zero shuffles**: instead of exploding every
   token occurrence and paying a corpus-sized ``groupBy(doc, term)``
   shuffle, each row sorts its own (bounded, KB-sized) token array and
-  converts runs to ``(term, tf)`` structs with JVM higher-order lambdas
-  — the same sorted-run-length idiom as the Gopher repetition filter
-  (queries.q_quality_repetition). Catalyst inlines the sorted-array
-  subexpression into its ~3 use sites, so the sort is recomputed a few
-  times per row; that is milliseconds of codegen'd JVM work riding the
-  scan, while the avoided alternative is a full shuffle of every token
-  occurrence in the corpus.
+  folds runs into ``(term, tf)`` structs with one JVM ``aggregate``
+  lambda — the same sorted-run-length idiom as the Gopher repetition
+  filter (queries.q_quality_repetition), a single O(n log n) pass per
+  row riding the scan, while the avoided alternative is a full shuffle
+  of every token occurrence in the corpus (see _tf_pairs_sql for the
+  lambda-CSE trap this formulation dodges).
 * The explode that follows emits one row per DISTINCT (doc, term) —
   already tf-aggregated, i.e. the same cardinality the scoring join
   needs anyway.
@@ -53,19 +52,76 @@ DEFAULT_STOPWORDS = (
 def _tf_pairs_sql(text_col: str, min_len: int,
                   stopwords: tuple[str, ...]) -> str:
     """SQL expression: ARRAY<STRUCT<term, tf>> of per-row term counts via
-    sorted-run-length, zero shuffles (see module docstring)."""
-    stop = ", ".join("'%s'" % w.replace("'", "''") for w in stopwords)
+    a single-pass run-length fold over the sorted token array, zero
+    shuffles (see module docstring).
+
+    The sorted array appears exactly ONCE, as ``aggregate``'s input
+    argument, and the fold lambda touches only the accumulator and the
+    current element. That is load-bearing: Catalyst does not eliminate
+    common subexpressions across lambda boundaries, so an array-valued
+    subexpression referenced INSIDE a lambda (e.g. ``element_at(sorted,
+    i)`` in a filter over positions) is re-evaluated — including the
+    sort — on every lambda invocation, turning a per-row O(n log n)
+    into O(n³ log n); an earlier transform/filter formulation of this
+    expression did exactly that and ran minutes instead of seconds on
+    a 500-doc input. The fold's ``array_append`` accumulator is
+    O(distinct²) element copies per row worst-case, which is
+    microseconds for KB-bounded documents.
+    """
+    guard = f"length(x) >= {int(min_len)}"
+    if stopwords:
+        stop = ", ".join("'%s'" % w.replace("'", "''") for w in stopwords)
+        guard += f" AND x NOT IN ({stop})"
     toks = (f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
-            f"x -> length(x) >= {int(min_len)} AND x NOT IN ({stop}))")
-    s = f"array_sort({toks})"
-    bounds = (f"filter(sequence(1, size({s})), "
-              f"i -> i = 1 OR element_at({s}, i) != element_at({s}, i - 1))")
-    return (f"CASE WHEN size({s}) = 0 THEN "
-            f"CAST(array() AS ARRAY<STRUCT<term: STRING, tf: BIGINT>>) "
-            f"ELSE transform({bounds}, (b, j) -> named_struct("
-            f"'term', element_at({s}, b), "
-            f"'tf', CAST(IF(j + 2 > size({bounds}), size({s}) + 1, "
-            f"element_at({bounds}, j + 2)) - b AS BIGINT))) END")
+            f"x -> {guard})")
+    pair = "named_struct('term', a.prev, 'tf', a.run)"
+    return (
+        f"aggregate(array_sort({toks}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'acc', CAST(array() AS ARRAY<STRUCT<term: STRING, tf: BIGINT>>)), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(a.prev <=> x, a.run + 1L, 1L), "
+        f"'acc', IF(a.prev IS NULL OR a.prev <=> x, a.acc, "
+        f"array_append(a.acc, {pair}))), "
+        f"a -> IF(a.prev IS NULL, a.acc, array_append(a.acc, {pair})))")
+
+
+def unigram_cross_entropy(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet-style perplexity quality filter with the n-gram model
+    degenerated to n=1 so the "LM" is trained by one aggregation over
+    the corpus itself (no external model): a doc full of common words
+    scores low, rare-token noise scores high.
+
+    Returns ``(id_col, n_toks, xent)`` where ``xent`` is
+    ``sum(tf * -ln(cnt/total)) / n_toks`` rounded to 6 dp (absorbs ln
+    ulp and partition-order float-sum jitter, the bm25 precedent);
+    zero-token docs emit nothing.
+
+    Plan: per-doc (term, tf) pairs map-side (zero-shuffle, see
+    extract_keywords), ONE vocabulary-sized ``groupBy(term)`` for the
+    LM counts, the 1-row grand total derived from those counts (not a
+    second corpus scan), and a final doc-keyed aggregation — at 100 TB
+    the corpus is tokenized once and only dictionary- and doc-keyed
+    rows ever shuffle.
+    """
+    pairs = (df.select(id_col,
+                       F.expr(_tf_pairs_sql(text_col, 1, ())).alias("pairs"))
+             .select(id_col, F.explode("pairs").alias("p"))
+             .select(id_col, F.col("p.term").alias("term"),
+                     F.col("p.tf").alias("tf")))
+    freq = pairs.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total_toks"))
+    return (pairs.join(freq, "term")
+            .crossJoin(F.broadcast(tot))
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_toks"),
+                 F.round(F.sum(F.col("tf")
+                               * -F.log(F.col("cnt")
+                                        / F.col("total_toks")))
+                         / F.sum("tf"), 6).alias("xent")))
 
 
 def extract_keywords(df: DataFrame, text_col: str = "text",

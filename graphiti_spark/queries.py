@@ -2858,6 +2858,45 @@ SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_quality_logprob(spark, sf_dir):
+    """CCNet-style perplexity quality filter with the LM degenerated to
+    the corpus's own unigram distribution (no external model): per-doc
+    cross-entropy sum(tf · -ln(cnt/total))/n_toks. One vocabulary-sized
+    groupBy trains the 'LM', the grand total derives from it (the corpus
+    is tokenized once), and the per-doc aggregation is keyed by the
+    unskewed doc id. Rounded to 6 dp — ln ulp plus partition-order
+    float-sum jitter is ~1e-13 relative, far under the rounding
+    resolution (the bm25_search precedent)."""
+    from graphiti_spark.operators.keywords import unigram_cross_entropy
+    d = load(spark, sf_dir, "documents")
+    return unigram_cross_entropy(d, text_col="text", id_col="doc_id")
+
+
+SQL_QUALITY_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) >= 1) AS tl
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(tl) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY doc_id, term
+), freq AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM freq
+)
+SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_toks,
+       round(sum(t.tf * -ln(CAST(f.cnt AS DOUBLE)
+                            / CAST(o.total_toks AS DOUBLE)))
+             / sum(t.tf), 6) AS xent
+FROM tf t JOIN freq f USING (term) CROSS JOIN tot o
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -2891,6 +2930,7 @@ QUERIES = {
     "dedup_resolve": q_dedup_resolve,
     "length_quantiles": q_length_quantiles,
     "keyword_tfidf": q_keyword_tfidf,
+    "quality_logprob": q_quality_logprob,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -2958,6 +2998,7 @@ ORACLES = {
     "dedup_resolve": SQL_DEDUP_RESOLVE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "keyword_tfidf": SQL_KEYWORD_TFIDF,
+    "quality_logprob": SQL_QUALITY_LOGPROB,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
