@@ -123,15 +123,25 @@ def build_graph(spark: SparkSession, transcripts: DataFrame,
     # → eager (the sf20 cold-cache race cost 200s→127s at local[8]);
     # small input → lazy persist only (the barriers alone added ~7s of
     # fixed latency to an 11s sf0.1 run).
+    n_rows = None
     if eager is None:
-        eager = transcripts.count() >= EAGER_MIN_ROWS
+        n_rows = transcripts.count()
+        eager = n_rows >= EAGER_MIN_ROWS
 
     # Partition the input by conversation BEFORE any compute: a single
     # parquet file (or an AQE-coalesced shuffle) would otherwise serialize
     # the pandas-UDF extraction stages. Explicit numPartitions (2-3× cores)
     # is exempt from AQE coalescing; keying by conv_id co-partitions every
-    # downstream group_id shuffle.
+    # downstream group_id shuffle. On TINY inputs (known free when the
+    # eagerness count ran) the 2-3×-cores width itself is the cost: every
+    # pandas-UDF stage schedules n_part tasks and warms that many Python
+    # workers for a handful of rows each, so cap width at ~40 rows per
+    # partition (600-row graph build: 64 → 16 partitions, ~1.6× faster
+    # warm; any input past ~2.5k rows is back at full width, and results
+    # are partition-invariant — the scaling gate re-proves it per round).
     n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
+    if n_rows is not None and n_rows < EAGER_MIN_ROWS:
+        n_part = min(n_part, max(8, n_rows // 40 + 1))
     transcripts = transcripts.repartition(n_part, "conv_id")
 
     def stage(name: str, build, partition_by=None, barrier: bool = True
