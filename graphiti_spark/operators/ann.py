@@ -32,6 +32,35 @@ def _dot(a: str, b: str) -> F.Column:
                   " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
 
+def quantize_int8(embeddings: DataFrame, emb_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard 4× memory
+    cut for a served / IVF-resident vector corpus (float32 → int8 +
+    one scale per vector). ``q[i] = round(x[i] · 127 / max|x|)`` ∈
+    [-127, 127]; an all-zero (or empty) vector quantizes to zeros with
+    scale 0. Reconstruction ``q · mx / 127`` has per-element error
+    ≤ mx/254 (pytest-checked vs numpy).
+
+    Returns ``(id_col, mx DOUBLE, q ARRAY<INT>)``. A narrow map riding
+    the scan — zero shuffles, zero UDFs; at 100 TB this is
+    embarrassingly parallel and IO-bound. ``mx`` is computed as its own
+    column BEFORE the quantizing transform so the lambda reads a bound
+    row slot; inlining the array_max subexpression into the lambda body
+    would re-evaluate it per element (the lambda-CSE trap documented in
+    operators/keywords._tf_pairs_sql — O(d²) per row at dim d).
+    """
+    withmx = embeddings.withColumn(
+        "mx", F.expr(f"array_max(transform({emb_col}, "
+                     "x -> abs(CAST(x AS DOUBLE))))"))
+    q = ("IF(mx IS NULL OR mx = CAST(0 AS DOUBLE), "
+         f"transform({emb_col}, x -> 0), "
+         f"transform({emb_col}, "
+         "x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS INT)))")
+    return withmx.select(
+        id_col, F.coalesce("mx", F.lit(0.0)).alias("mx"),
+        F.expr(q).alias("q"))
+
+
 def brute_force_knn(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", emb_col: str = "embedding"
                     ) -> DataFrame:

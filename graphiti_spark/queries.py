@@ -625,6 +625,60 @@ GROUP BY label, i
 """
 
 
+def q_embedding_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (ann.quantize_int8) — the
+    4× memory cut for a served vector corpus. The driver compare avoids
+    array-typed columns (pandas renders JVM and DuckDB arrays
+    differently), so the query pins each quantized vector through
+    exact-integer summaries: component sum, absolute sum, non-zero
+    count, and max magnitude (127 for any non-zero vector by
+    construction). mx is a single cast of the stored float — identical
+    IEEE value in both engines; everything else is BIGINT."""
+    from graphiti_spark.operators.ann import quantize_int8
+    e = load(spark, sf_dir, "embeddings")
+    qz = quantize_int8(e)
+    agg = ("aggregate(q, named_struct('s', CAST(0 AS BIGINT), "
+           "'a', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT), "
+           "'m', CAST(0 AS BIGINT)), "
+           "(acc, v) -> named_struct('s', acc.s + v, 'a', acc.a + abs(v), "
+           "'n', acc.n + IF(v = 0, 0L, 1L), "
+           "'m', greatest(acc.m, CAST(abs(v) AS BIGINT))))")
+    return qz.select(
+        "vec_id", "mx",
+        F.expr(f"{agg}.s").alias("sum_q"),
+        F.expr(f"{agg}.a").alias("sum_abs_q"),
+        F.expr(f"{agg}.n").alias("nnz"),
+        F.expr(f"{agg}.m").alias("max_abs_q"))
+
+
+SQL_EMBEDDING_INT8 = """
+WITH b AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS mx,
+         embedding
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, coalesce(mx, 0.0) AS mx,
+         CASE WHEN mx IS NULL OR mx = 0 THEN
+           list_transform(embedding, x -> 0)
+         ELSE
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx, 0) AS INTEGER))
+         END AS q
+  FROM b
+)
+SELECT vec_id, mx,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT)
+         AS sum_abs_q,
+       CAST(len(list_filter(q, v -> v <> 0)) AS BIGINT) AS nnz,
+       CAST(coalesce(list_max(list_transform(q, v -> abs(v))), 0) AS BIGINT)
+         AS max_abs_q
+FROM qz
+"""
+
+
 def q_token_count(spark, sf_dir):
     """BPE-ish token counting per source: alnum runs cost ceil(len/4),
     punctuation 1 (whitespace + regex tokenizer)."""
@@ -2917,6 +2971,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "embedding_knn": q_embedding_knn,
     "embedding_centroid": q_embedding_centroid,
+    "embedding_int8": q_embedding_int8,
     "token_count": q_token_count,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
@@ -2985,6 +3040,7 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "embedding_knn": SQL_EMBEDDING_KNN,
     "embedding_centroid": SQL_EMBEDDING_CENTROID,
+    "embedding_int8": SQL_EMBEDDING_INT8,
     "token_count": SQL_TOKEN_COUNT,
     "quality_filter": SQL_QUALITY_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -72,3 +72,39 @@ def test_near_dup_pairs_symmetric_bounded(embeddings):
     rows = pairs.collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
+def test_quantize_int8_reconstruction(embeddings):
+    """q in [-127,127]; reconstruction q*mx/127 within mx/254 per element;
+    exact match vs a numpy reference."""
+    import numpy as np
+    rows = ann.quantize_int8(embeddings).collect()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in embeddings.collect()}
+    assert len(rows) == len(orig)
+    for r in rows:
+        x = orig[r.vec_id]
+        q = np.asarray(r.q, dtype=np.int64)
+        assert np.abs(q).max(initial=0) <= 127
+        mx = np.abs(x).max(initial=0.0)
+        assert r.mx == pytest.approx(mx, abs=0.0)
+        if mx == 0:
+            assert not q.any()
+            continue
+        expect = np.floor(x * 127.0 / mx + 0.5)  # HALF_UP for positives
+        # HALF_UP rounds away from zero for negatives too
+        neg = x * 127.0 / mx < 0
+        expect[neg] = np.ceil(x[neg] * 127.0 / mx - 0.5)
+        assert (q == expect.astype(np.int64)).all()
+        recon = q * mx / 127.0
+        assert np.abs(recon - x).max() <= mx / 254.0 * (1 + 1e-9)
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25]), (3, [])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in ann.quantize_int8(df).collect()}
+    assert got[1].mx == 0.0 and got[1].q == [0, 0, 0]
+    assert got[2].mx == 1.0 and got[2].q == [64, -127, 32]
+    assert got[3].mx == 0.0 and got[3].q == []
