@@ -153,6 +153,54 @@ def _bm25_explode(base: DataFrame, uniq: list[str], k1: float, b: float,
             .orderBy(F.col("score").desc(), "uuid").limit(limit))
 
 
+def build_inverted_index(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", min_len: int = 2,
+                         stopwords: tuple[str, ...] | None = None,
+                         n_buckets: int = 8) -> DataFrame:
+    """Materialized inverted index (posting lists) — the batch
+    index-build behind fulltext search at rest, where bm25_lite_search
+    computes tf/df on the fly per query.
+
+    Returns one row per ``(term, bucket)``: ``df_part`` (docs), ``cf_part``
+    (corpus frequency), and ``postings`` — the '|'-joined ascending doc
+    ids of the bucket segment. A reader reconstructs a term's full
+    posting list by concatenating its buckets in bucket order (ids are
+    bucketed by ``doc_id % n_buckets``, so segments are disjoint and
+    internally sorted).
+
+    Scale shape, sized for a 100 TB corpus: per-doc (term, tf) pairs
+    come from the zero-shuffle sorted-run-length fold
+    (keywords._tf_pairs_sql), so the ONLY shuffle is the ``groupBy
+    (term, bucket)`` — map-side combined over distinct (doc, term) rows.
+    The bucket in the key is the skew control: a head term (stopword-ish,
+    present in nearly every doc) would otherwise send its entire posting
+    list to ONE reducer; bucketing bounds each reducer's state to
+    ~corpus/n_buckets regardless of term skew, at the price of
+    n_buckets rows per term. Set n_buckets ~ O(corpus_docs /
+    target_segment_size); 1 re-creates the classic single-list layout.
+    """
+    from graphiti_spark.operators.keywords import (DEFAULT_STOPWORDS,
+                                                   _tf_pairs_sql)
+    if stopwords is None:
+        stopwords = DEFAULT_STOPWORDS
+    pairs = (df.select(id_col,
+                       F.expr(_tf_pairs_sql(text_col, min_len, stopwords))
+                       .alias("pairs"))
+             .select(id_col, F.explode("pairs").alias("p"))
+             .select(id_col, F.col("p.term").alias("term"),
+                     F.col("p.tf").alias("tf")))
+    return (pairs
+            .withColumn("bucket",
+                        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int"))
+            .groupBy("term", "bucket")
+            .agg(F.count(F.lit(1)).alias("df_part"),
+                 F.sum("tf").alias("cf_part"),
+                 F.array_join(
+                     F.expr(f"transform(array_sort(collect_list({id_col})), "
+                            "x -> CAST(x AS STRING))"), "|")
+                 .alias("postings")))
+
+
 def cosine_col(emb_col, query_vec: list[float]) -> F.Column:
     """JVM-side cosine similarity of an array<float> column vs a literal
     query vector — whole-stage-codegen'd, no Python (F4).

@@ -2912,6 +2912,43 @@ SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Bucketed inverted-index build (operators/search.
+    build_inverted_index): one row per (term, doc_id%4 bucket) with df,
+    corpus frequency, and the '|'-joined ascending posting segment. The
+    only shuffle is the map-side-combined groupBy(term, bucket); the
+    bucket key spreads head-term posting lists across reducers (the
+    skew control a single-list layout lacks). Postings are strings of
+    sorted integer ids — hash-exact on both engines."""
+    from graphiti_spark.operators.search import build_inverted_index
+    d = load(spark, sf_dir, "documents")
+    return build_inverted_index(d, n_buckets=4)
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> length(x) >= 2 AND x NOT IN
+             ('the','a','an','and','or','of','to','in','is','on',
+              'for','with','as','at','by','it','that','this')) AS tl
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(tl) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY doc_id, term
+)
+SELECT term, CAST(doc_id % 4 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS df_part,
+       CAST(sum(tf) AS BIGINT) AS cf_part,
+       array_to_string(list_transform(list_sort(list(doc_id)),
+                                      x -> CAST(x AS VARCHAR)), '|')
+         AS postings
+FROM tf GROUP BY term, doc_id % 4
+"""
+
+
 def q_quality_logprob(spark, sf_dir):
     """CCNet-style perplexity quality filter with the LM degenerated to
     the corpus's own unigram distribution (no external model): per-doc
@@ -2986,6 +3023,7 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "keyword_tfidf": q_keyword_tfidf,
     "quality_logprob": q_quality_logprob,
+    "inverted_index": q_inverted_index,
     "lang_id": q_lang_id,
     "lang_id_ngram": q_lang_id_ngram,
     "media_probe": q_media_probe,
@@ -3055,6 +3093,7 @@ ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "keyword_tfidf": SQL_KEYWORD_TFIDF,
     "quality_logprob": SQL_QUALITY_LOGPROB,
+    "inverted_index": SQL_INVERTED_INDEX,
     "lang_id": SQL_LANG_ID,
     "lang_id_ngram": SQL_LANG_ID_NGRAM,
     "media_probe": SQL_MEDIA_PROBE,
