@@ -57,6 +57,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rcols = [c for c in right.columns if c not in on]
     lcols = [c for c in left.columns]
 
+    # A NULL-timestamp right row can never be "the most recent at-or-
+    # before t" — without this filter it sorts NULLS FIRST in backward
+    # mode and becomes a universal earliest match (pandas merge_asof and
+    # DuckDB ASOF both ignore NULL/NaT keys). NULL-ts left rows are kept
+    # but forced unmatched below, for the same reason.
+    right = right.where(F.col(right_ts).isNotNull())
+
     r = right.select(
         *on, F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tie_break)],
@@ -86,6 +93,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     matched = F.last("_r", ignorenulls=True).over(w)
 
     out = (u.withColumn("_m", matched)
+           .withColumn("_m", F.when(F.col("_ts").isNotNull(), F.col("_m")))
            .where(F.col("_side") == 1))
     if tolerance is not None:
         far = (F.col("_ts") - F.col(f"_m.{right_ts}") > tolerance

@@ -115,10 +115,15 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
     if strategy not in ("auto", "grouped", "rounds"):
         raise ValueError(f"unknown LPA strategy {strategy!r}")
     if strategy == "rounds":
-        return _rounds_lpa(entities, edges, max_rounds, mode)
+        return _rounds_lpa(entities, neighbor_projection(edges),
+                           max_rounds, mode)
     proj = neighbor_projection(edges)
     if strategy == "grouped":
         return _grouped_lpa(entities, proj, mode, max_rounds)
+    # Materialize the projection ONCE: the size gate, the grouped path
+    # and a possible rounds path all read it — without the checkpoint the
+    # edge scan + projection shuffle would re-execute for each.
+    proj = proj.localCheckpoint(eager=True)
     big_nodes = (entities.groupBy("group_id")
                  .agg(F.count(F.lit(1)).alias("n"))
                  .where(F.col("n") > max_group_nodes)
@@ -131,12 +136,18 @@ def label_propagation(entities: DataFrame, edges: DataFrame,
            big_nodes.unionByName(big_edges).distinct().collect()]
     if not big:
         return _grouped_lpa(entities, proj, mode, max_rounds)
-    small = _grouped_lpa(entities.where(~F.col("group_id").isin(big)),
-                         proj.where(~F.col("group_id").isin(big)),
+    # Null-safe split: `isin` returns NULL (not False) for a NULL
+    # group_id, and ~NULL is NULL, so a naive where/~where pair would
+    # silently drop every NULL-keyed entity from BOTH branches.
+    nonnull = [g for g in big if g is not None]
+    is_big = (F.coalesce(F.col("group_id").isin(nonnull), F.lit(False))
+              if nonnull else F.lit(False))
+    if any(g is None for g in big):
+        is_big = is_big | F.col("group_id").isNull()
+    small = _grouped_lpa(entities.where(~is_big), proj.where(~is_big),
                          mode, max_rounds)
     return small.unionByName(
-        _rounds_lpa(entities.where(F.col("group_id").isin(big)),
-                    edges.where(F.col("group_id").isin(big)),
+        _rounds_lpa(entities.where(is_big), proj.where(is_big),
                     max_rounds, mode))
 
 
@@ -207,12 +218,18 @@ def _grouped_lpa(entities: DataFrame, proj: DataFrame, mode: str,
                                "community string"))
 
 
-def _rounds_lpa(entities: DataFrame, edges: DataFrame,
+def _rounds_lpa(entities: DataFrame, proj: DataFrame,
                 max_rounds: int, mode: str) -> DataFrame:
     """Synchronous-round LPA as iterative DataFrame joins — the executor
-    for groups too large for one task's memory. One round = neighbor-vote
-    join + two hash aggregates + label join, lineage-cut per round."""
-    proj = neighbor_projection(edges).localCheckpoint(eager=True)
+    for groups too large for one task's memory. Takes the neighbor
+    PROJECTION (already built by the caller, so the auto gate's
+    checkpointed copy is reused instead of re-shuffling the edges). One
+    round = neighbor-vote join + two hash aggregates + label join,
+    lineage-cut per round. NULL-keyed groups never propagate here (the
+    equi-joins drop NULL group_id); the auto gate routes them to the
+    grouped executor, which handles a NULL cogroup key fine — only a
+    direct strategy="rounds" call on NULL-keyed data hits this."""
+    proj = proj.localCheckpoint(eager=True)
     labels = (entities.select("uuid", "group_id")
               .withColumn("community", F.col("uuid"))
               .localCheckpoint(eager=True))

@@ -42,9 +42,12 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
 
     ``rank_0 = 1/N``; ``rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v}
     rank_t(u)/outdeg(u)`` with N and the sum scoped to ``key`` (pass
-    ``key=None`` for one global graph). Deterministic: summed doubles per
-    destination come from a commutative aggregation of per-source terms;
-    with ``iters`` fixed the result is independent of partitioning.
+    ``key=None`` for one global graph). Determinism caveat: the per-
+    destination contribution sum is floating-point, and double addition
+    is commutative but NOT associative, so low-order bits can vary with
+    partial-aggregation order on nodes with 3+ in-neighbors; consumers
+    that hash values must quantize first (the driver query rounds to
+    9 dp — comfortably above the ulp jitter, far below rank gaps).
     """
     kc = [key] if key else []
     if not key:

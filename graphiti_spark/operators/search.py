@@ -163,10 +163,14 @@ def build_inverted_index(df: DataFrame, text_col: str = "text",
 
     Returns one row per ``(term, bucket)``: ``df_part`` (docs), ``cf_part``
     (corpus frequency), and ``postings`` — the '|'-joined ascending doc
-    ids of the bucket segment. A reader reconstructs a term's full
-    posting list by concatenating its buckets in bucket order (ids are
-    bucketed by ``doc_id % n_buckets``, so segments are disjoint and
-    internally sorted).
+    ids of the bucket segment. For a NUMERIC ``id_col`` the bucket is
+    ``doc_id % n_buckets``, so segments are disjoint and internally
+    sorted and a reader reconstructs a term's full (sorted) posting list
+    by a k-way merge of its buckets. For a STRING id (the pipeline's
+    uuids) the bucket is ``pmod(hash(id), n_buckets)`` — a plain modulus
+    would cast the string and either throw under ANSI mode or collapse
+    every doc into a NULL bucket; segments stay disjoint and internally
+    sorted, reconstruction is the same merge.
 
     Scale shape, sized for a 100 TB corpus: per-doc (term, tf) pairs
     come from the zero-shuffle sorted-run-length fold
@@ -189,9 +193,13 @@ def build_inverted_index(df: DataFrame, text_col: str = "text",
              .select(id_col, F.explode("pairs").alias("p"))
              .select(id_col, F.col("p.term").alias("term"),
                      F.col("p.tf").alias("tf")))
+    from pyspark.sql.types import NumericType
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        bucket = F.pmod(F.col(id_col), F.lit(n_buckets))
+    else:
+        bucket = F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
     return (pairs
-            .withColumn("bucket",
-                        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int"))
+            .withColumn("bucket", bucket.cast("int"))
             .groupBy("term", "bucket")
             .agg(F.count(F.lit(1)).alias("df_part"),
                  F.sum("tf").alias("cf_part"),

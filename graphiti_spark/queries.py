@@ -2758,11 +2758,16 @@ def q_dedup_resolve(spark, sf_dir):
     oracle-checked, complementing kg_build_edges' closed-form input.
     Output: every clustered doc with its canonical id + keeper flag."""
     from graphiti_spark.operators.dedup import connected_components
+    # Checkpoint the pair plan HERE: verts derives from it, and
+    # connected_components checkpoints its two inputs separately — an
+    # un-cut lineage would execute the quadratic token self-join twice
+    # (once for pairs, again under verts).
     pairs = (q_dedup_jaccard(spark, sf_dir)
              .select(F.lpad(F.col("doc_a").cast("string"), 12, "0")
                      .alias("uuid_a"),
                      F.lpad(F.col("doc_b").cast("string"), 12, "0")
-                     .alias("uuid_b")))
+                     .alias("uuid_b"))
+             .localCheckpoint(eager=True))
     verts = (pairs.select(F.col("uuid_a").alias("uuid"))
              .union(pairs.select("uuid_b")).distinct())
     cc = connected_components(verts, pairs)

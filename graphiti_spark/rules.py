@@ -476,7 +476,13 @@ _Q_LEADS = frozenset({
     "can", "could", "will", "would", "shall", "should", "may", "might",
     "must", "have", "has", "had",
     "who", "what", "where", "when", "why", "how", "which", "whose",
-    "whom"})
+    "whom",
+    # contracted negative auxiliaries: "Doesn't Alice work at Acme?"
+    # would otherwise stay antecedent-eligible and _LEAD_NAME would
+    # mint the bogus name "Doesn" (the apostrophe ends the token)
+    "don't", "doesn't", "didn't", "isn't", "aren't", "wasn't",
+    "weren't", "can't", "couldn't", "won't", "wouldn't", "shan't",
+    "shouldn't", "mightn't", "mustn't", "haven't", "hasn't", "hadn't"})
 
 
 def _q_blocked(sent: str, is_q: bool) -> bool:
@@ -484,7 +490,9 @@ def _q_blocked(sent: str, is_q: bool) -> bool:
     antecedent source (auxiliary/wh-led interrogative)."""
     if not is_q:
         return False
-    return sent.split(" ", 1)[0].rstrip(",?").lower() in _Q_LEADS
+    lead = sent.split(" ", 1)[0].rstrip(",?").lower()
+    # normalize the unicode apostrophe so "Doesn’t" is caught too
+    return lead.replace("’", "'") in _Q_LEADS
 #: lowercase OBJECT pronouns never satisfy the capitalized _NAME slot, so
 #: they are resolved by textual substitution before matching ("Acme
 #: employs her" → "Acme employs <antecedent>"); subject pronouns are

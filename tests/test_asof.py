@@ -97,3 +97,18 @@ def test_tie_break_is_deterministic(spark):
                     r, on=["k"], direction="forward", tie_break=["rv"])
     # forward: smallest tie-break tuple wins
     assert [x["r_rv"] for x in out.collect()] == [10]
+
+
+def test_null_timestamps_never_match(spark):
+    """A NULL-ts right row must not become a universal earliest match
+    (it sorts NULLS FIRST in the backward window without the filter),
+    and a NULL-ts left row must come back unmatched, both directions —
+    pandas merge_asof / DuckDB ASOF semantics."""
+    left = [("u0", T0 + dt.timedelta(seconds=50), 1),
+            ("u0", None, 2)]
+    right = [("u0", None, 999),
+             ("u0", T0 + dt.timedelta(seconds=200), 7)]
+    for direction, want1 in (("backward", None), ("forward", 7)):
+        got = _spark_asof(spark, left, right, direction)
+        assert got[1] == want1, direction
+        assert got[2] is None, direction

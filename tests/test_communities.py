@@ -347,3 +347,26 @@ def test_lpa_mode_validation(spark):
     ents, edges = _graph(spark, [("a", "b")], ["a", "b"])
     with pytest.raises(ValueError, match="mode"):
         C.label_propagation(ents, edges, mode="jacobi")
+
+
+def test_auto_gate_keeps_null_group_entities(spark):
+    """code-review r5: with any oversized group present, the auto split
+    predicates `isin(big)` / `~isin(big)` both evaluate to NULL for a
+    NULL group_id, silently dropping those entities from BOTH branches.
+    The null-safe split must keep them (routed with the small groups)."""
+    ents = spark.createDataFrame(
+        [("a1", "big"), ("a2", "big"), ("a3", "big"),
+         ("n1", None), ("n2", None)],
+        "uuid string, group_id string")
+    edges = spark.createDataFrame(
+        [("e1", "big", "a1", "a2"), ("e2", "big", "a2", "a3"),
+         ("e3", None, "n1", "n2")],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string")
+    out = C.label_propagation(ents, edges, strategy="auto",
+                              max_group_nodes=2, max_rounds=20)
+    rows = out.collect()
+    assert {r["uuid"] for r in rows} == {"a1", "a2", "a3", "n1", "n2"}
+    # the NULL-keyed pair still propagates a shared label
+    labels = {r["uuid"]: r["community"] for r in rows}
+    assert labels["n1"] == labels["n2"]

@@ -67,3 +67,26 @@ def test_index_head_term_spread(spark):
     assert len(rows) == 8
     assert sum(r.df_part for r in rows) == 40
     assert max(r.df_part for r in rows) == 5    # 40/8 exactly, zero skew
+
+
+def test_string_ids_bucket_by_hash(spark):
+    """code-review r5: pmod on a STRING id either throws (ANSI) or
+    collapses every doc into a NULL bucket. String ids must hash-bucket;
+    segments stay disjoint, internally sorted, and union to the full
+    posting list."""
+    rng = random.Random(9)
+    docs = {f"uuid-{i:03d}": " ".join(rng.choices(VOCAB, k=20))
+            for i in range(40)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    got = build_inverted_index(df, id_col="doc_id", n_buckets=4).collect()
+    want = _py_index(docs)
+    seen = {}
+    for r in got:
+        assert r["bucket"] is not None and 0 <= r["bucket"] < 4
+        ids = r["postings"].split("|")
+        assert ids == sorted(ids)          # segment internally sorted
+        d, cf, allids = seen.get(r["term"], (0, 0, []))
+        seen[r["term"]] = (d + r["df_part"], cf + r["cf_part"],
+                           allids + ids)
+    assert {t: (d, cf, sorted(ids)) for t, (d, cf, ids) in seen.items()} \
+        == want

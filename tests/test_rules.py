@@ -858,3 +858,20 @@ def test_relative_adjunct_dates_resolve_against_episode_ts():
     t = rules.extract_triples(
         "user: Alice Smith works at Acme Corp since yesterday.", None)
     assert t[0]["valid_at"] is None
+
+
+def test_contracted_auxiliary_question_is_blocked_too():
+    # code-review r5: "Doesn't Alice work at Acme?" previously stayed
+    # antecedent-eligible — the lead token "doesn't" missed _Q_LEADS and
+    # _LEAD_NAME minted the bogus name "Doesn" (apostrophe ends the
+    # token), hijacking the coref chain from the real antecedent.
+    m, t = rules.extract_all(
+        "user: Doesn't Alice work at Acme? She works at Acme Corp.", TS)
+    names = {x["name"] for x in m}
+    assert "Doesn" not in names
+    assert ("Doesn", "WORKS_AT", "Acme Corp") not in _spo(t)
+    # unicode apostrophe form
+    m, t = rules.extract_all(
+        "user: Doesn’t Alice work at Acme? She works at Acme Corp.",
+        TS)
+    assert "Doesn" not in {x["name"] for x in m}
