@@ -50,7 +50,8 @@ HEADLINE = [
     "pii_scrub", "quality_repetition", "stratified_sample", "kg_pagerank",
     "events_asof_join", "decontaminate", "sequence_pack", "domain_mixture",
     "length_quantiles", "keyword_tfidf", "quality_logprob",
-    "embedding_int8", "inverted_index",
+    "embedding_int8", "inverted_index", "graph_triangles",
+    "weighted_sample", "boilerplate_ngrams",
 ]
 
 

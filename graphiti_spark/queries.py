@@ -2993,6 +2993,142 @@ GROUP BY t.doc_id
 """
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting (operators/graph.triangle_count) with
+    degree-ordered orientation — per-node wedge fan-out bounded O(√m) so
+    a hot node cannot melt one reducer at 100 TB (the Suri-Vassilvitskii
+    "last reducer" fix). The input graph is derived deterministically
+    from orders (nodes = key residues mod 40, 5 independent graphs keyed
+    by o_orderpriority), dense enough that every graph closes thousands
+    of triangles. The oracle counts id-ordered closed triples a<b<c via
+    two self-joins — a DIFFERENT algorithm whose count provably equals
+    the orientation method's, so the check is algorithm-independent."""
+    from graphiti_spark.operators.graph import triangle_count
+    o = load(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_orderpriority").alias("group_id"),
+        (F.col("o_custkey") % 40).cast("bigint").alias("src"),
+        (F.col("o_orderkey") % 40).cast("bigint").alias("dst"))
+    return (triangle_count(edges, key="group_id", src="src", dst="dst")
+            .select("group_id",
+                    F.col("n_triangles").cast("bigint")
+                     .alias("n_triangles")))
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH raw AS (
+  SELECT o_orderpriority AS g,
+         least(o_custkey % 40, o_orderkey % 40) AS a,
+         greatest(o_custkey % 40, o_orderkey % 40) AS b
+  FROM orders
+), e AS (
+  SELECT DISTINCT g, a, b FROM raw WHERE a <> b
+)
+SELECT e1.g AS group_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.g = e1.g AND e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.g = e1.g AND e3.a = e1.b AND e3.b = e2.b
+GROUP BY e1.g
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential race): per ``source``, keep the 10 docs with the
+    smallest ``-ln(u)/w`` where ``u`` is an md5-derived uniform and the
+    weight ``w = n_chars`` — longer docs proportionally likelier, the
+    quality-weighted data-selection pass. NO RNG state: u comes from
+    md5(doc_id), so the sample is reproducible from the row alone, at
+    any parallelism, resumable mid-job (the stratified_sample argument,
+    now with weights). Plan: narrow map for the key + ONE top-k window
+    shuffle on the low-cardinality source — at 100 TB the scan dominates.
+    Keys are rounded to 6 dp before ranking on BOTH engines (absorbs
+    libm-vs-JVM ln ulp, the bm25 precedent) with doc_id as tie-break,
+    so the emitted set is a total order and hash-stable."""
+    d = load(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(F.md5(F.concat(
+        F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") + F.lit(1.0)) / F.lit(4294967297.0))
+    key = F.round(-F.log(u) / F.col("n_chars"), 6)
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (d.select("source", "doc_id",
+                     F.col("n_chars").alias("weight"),
+                     key.alias("sample_key"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("source", "doc_id", "weight", "sample_key",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars AS weight,
+         round(-ln((CAST(CAST(('0x' || substr(
+                    md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS DOUBLE) + 1.0) / 4294967297.0)
+               / n_chars, 6) AS sample_key
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY sample_key, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, weight, sample_key, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection — the corpus-side heavy-hitter pass (C4 /
+    RefinedWeb drop text fragments repeated across many pages): a
+    trigram occurring in ≥ 25 DISTINCT docs is "boilerplate"; each doc
+    reports its distinct-trigram count and how many of those are
+    boilerplate (integer-exact). Plan at 100 TB: trigrams are built
+    narrow (the zip_with chain riding the scan, array_distinct per doc),
+    the df count is ONE map-side-combined groupBy whose ≥25 survivor set
+    is tiny and BROADCAST back against the corpus — the corpus itself is
+    never shuffled, and no driver-side collect anywhere."""
+    d = load(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.expr(_TOKS).alias("w"))
+    w, n = F.col("w"), F.size("w")
+    tri = F.zip_with(
+        F.zip_with(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        F.slice(w, 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c))
+    grams = F.when(n >= 3, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>"))
+    g = (dw.select("doc_id", F.explode(grams).alias("gram")))
+    boiler = (g.groupBy("gram").agg(F.count("*").alias("df"))
+              .where(F.col("df") >= 25).select("gram"))
+    return (g.join(F.broadcast(boiler).withColumn("_b", F.lit(1)),
+                   "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_grams"),
+                 F.sum(F.coalesce("_b", F.lit(0))).cast("int")
+                  .alias("n_boiler")))
+
+
+SQL_BOILERPLATE_NGRAMS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS gram
+  FROM t WHERE len(w) >= 3
+), boiler AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 25
+)
+SELECT g.doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+         AS n_boiler
+FROM g LEFT JOIN boiler b ON g.gram = b.gram
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "episode_assembly": q_episode_assembly,
     "episode_retrieval": q_episode_retrieval,
@@ -3020,6 +3156,9 @@ QUERIES = {
     "quality_repetition": q_quality_repetition,
     "stratified_sample": q_stratified_sample,
     "kg_pagerank": q_kg_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "weighted_sample": q_weighted_sample,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "events_asof_join": q_events_asof_join,
     "decontaminate": q_decontaminate,
     "sequence_pack": q_sequence_pack,
@@ -3090,6 +3229,9 @@ ORACLES = {
     "quality_repetition": SQL_QUALITY_REPETITION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "decontaminate": SQL_DECONTAMINATE,
     "sequence_pack": SQL_SEQUENCE_PACK,

@@ -112,6 +112,19 @@ for strat in ("grouped", "rounds"):
     labels.unpersist()
 wall_lpa = lpa["grouped"]["sec"]
 
+# --- Triangles: closed-form count on the chord topology ----------------
+# Each cluster is a 0..19 path with +1 and +2 chords (no wrap), so its
+# triangles are exactly the (i, i+1, i+2) triples for i in 0..17:
+# 18 per cluster, every cluster. Checked per GROUP, not just the total.
+from graphiti_spark.operators.graph import triangle_count  # noqa: E402
+
+t0 = time.time()
+tri = triangle_count(edges).persist()
+tri_groups = tri.count()
+wall_tri = time.time() - t0
+tri_wrong = tri.where(F.col("n_triangles") != 18).count()
+tri.unpersist()
+
 out = {
     "metric": "lpa_nodes_per_sec",
     "value": lpa["grouped"]["nodes_per_sec"],
@@ -124,6 +137,11 @@ out = {
     "lpa_sec": wall_lpa,
     "lpa_by_strategy": lpa,
     "lpa_expected_communities": N_NODES // CSIZE,
+    "triangles_sec": round(wall_tri, 2),
+    "triangles_groups": tri_groups,
+    "triangles_expected_groups": N_NODES // CSIZE,
+    "triangles_wrong_groups": tri_wrong,
+    "triangles_edges_per_sec": round(n_edges / wall_tri, 1),
     "cpus": CPUS,
 }
 print(json.dumps(out))

@@ -84,3 +84,56 @@ def test_global_mode_without_key(spark):
     want = ref_pagerank([("a", "b"), ("b", "c")], iters=4)
     for v, r in want.items():
         assert got[v] == pytest.approx(r, abs=1e-12)
+
+
+# ---------------------------------------------------------------- triangles
+
+from graphiti_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def ref_triangles(edges):
+    """Brute-force: count id-ordered closed triples a<b<c."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in es for n in e})
+    cnt = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, c) in es and (b, c) in es:
+                    cnt += 1
+    return cnt
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_count_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    groups = {}
+    rows = []
+    for g in ("g0", "g1"):
+        n = rng.randint(8, 14)
+        es = {(f"{g}n{rng.randrange(n)}", f"{g}n{rng.randrange(n)}")
+              for _ in range(40)}
+        # add reversed + exact duplicates: the operator must dedup both
+        rows += [(g, s, d) for s, d in es] + \
+                [(g, d, s) for s, d in list(es)[:10]]
+        groups[g] = ref_triangles(es)
+    df = spark.createDataFrame(
+        rows, "group_id string, source_node_uuid string, "
+              "target_node_uuid string")
+    got = {r["group_id"]: r["n_triangles"]
+           for r in triangle_count(df).collect()}
+    want = {g: c for g, c in groups.items() if c > 0}
+    assert got == want
+
+
+def test_triangle_count_global_and_empty(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "source_node_uuid string, target_node_uuid string")
+    assert triangle_count(df, key=None).collect()[0]["n_triangles"] == 1
+    tri_free = spark.createDataFrame(
+        [("x", "y"), ("y", "z")],
+        "source_node_uuid string, target_node_uuid string")
+    assert triangle_count(tri_free, key=None).count() == 0
