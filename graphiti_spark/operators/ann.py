@@ -216,18 +216,16 @@ def near_dup_pairs_lsh(embeddings: DataFrame, n_planes: int = 12,
             .select("id_a", "id_b").distinct())
 
 
-def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
-                            toks_col: str = "toks", n_hashes: int = 8,
-                            bands: int = 2,
-                            max_bucket: int = 100) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (shingle → minhash → band →
-    bucket equi-join), engine-portable (md5 of 'seed:token') and
-    mega-bucket-capped: a band bucket holding more than ``max_bucket``
-    docs is a degenerate low-entropy collision, not a near-dup cluster —
-    dropping it bounds join fan-out to O(#buckets · max_bucket²) at any
-    corpus size. ``docs`` carries (id_col, toks_col: array<string> of
-    DISTINCT tokens). The cap count rides a bucket-partitioned window on
-    the same shuffle the self-join needs."""
+def minhash_band_keys(docs: DataFrame, id_col: str = "doc_id",
+                      toks_col: str = "toks", n_hashes: int = 8,
+                      bands: int = 2) -> DataFrame:
+    """→ (id_col, bk): one LSH band key per (doc, band) — the shared
+    signature step behind both the batch self-join
+    (:func:`minhash_candidate_pairs`) and the incremental at-rest index
+    (:mod:`graphiti_spark.streaming.lsh_index`). Engine-portable hashes
+    (md5 of 'seed:token'), so the same doc always produces the same keys
+    on any engine/run — the property that lets an index built
+    incrementally equal one rebuilt from scratch."""
     rows_per_band = n_hashes // bands
     tok = docs.select(id_col, F.explode(toks_col).alias("tok"))
     seeds = docs.sparkSession.range(n_hashes).select(
@@ -242,13 +240,28 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                      .alias("sig")))
     band = lambda i, j: F.md5(F.concat_ws(
         "", *[F.col("sig")[k]["mh"] for k in range(i, j)]))
-    keyed = (per_doc
-             .select(id_col,
-                     F.explode(F.array(*[
-                         F.concat(F.lit(f"b{b}:"),
-                                  band(b * rows_per_band,
-                                       (b + 1) * rows_per_band))
-                         for b in range(bands)])).alias("bk"))
+    return per_doc.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat(F.lit(f"b{b}:"),
+                     band(b * rows_per_band,
+                          (b + 1) * rows_per_band))
+            for b in range(bands)])).alias("bk"))
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            toks_col: str = "toks", n_hashes: int = 8,
+                            bands: int = 2,
+                            max_bucket: int = 100) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (shingle → minhash → band →
+    bucket equi-join), engine-portable (md5 of 'seed:token') and
+    mega-bucket-capped: a band bucket holding more than ``max_bucket``
+    docs is a degenerate low-entropy collision, not a near-dup cluster —
+    dropping it bounds join fan-out to O(#buckets · max_bucket²) at any
+    corpus size. ``docs`` carries (id_col, toks_col: array<string> of
+    DISTINCT tokens). The cap count rides a bucket-partitioned window on
+    the same shuffle the self-join needs."""
+    keyed = (minhash_band_keys(docs, id_col, toks_col, n_hashes, bands)
              .withColumn("_bn", F.count("*").over(Window.partitionBy("bk")))
              .where(F.col("_bn") <= max_bucket).drop("_bn"))
     a = keyed.select(F.col(id_col).alias("doc_a"), "bk")
