@@ -78,9 +78,12 @@ class LshIndex:
              .alias("shard"))
 
     def _stored(self, spark: SparkSession) -> DataFrame:
-        if not os.path.isdir(self.path):
+        # the dir may exist but hold no parquet yet (e.g. a foreign
+        # _checkpoints subdir landed first) — treat that as empty too
+        try:
+            df = spark.read.schema(_SCHEMA).parquet(self.path)
+        except Exception:
             return spark.createDataFrame([], _SCHEMA)
-        df = spark.read.parquet(self.path)
         # partition-column inference pins shard back to int
         return df.select("doc_id", "bk", F.col("shard").cast("int")
                          .alias("shard"))
@@ -138,3 +141,38 @@ class LshIndex:
              .write.partitionBy("shard").mode("append")
              .parquet(self.path))
         return pairs
+
+
+def run_near_dup_stream(spark: SparkSession, in_path: str, index_path: str,
+                        pairs_path: str, schema: str,
+                        tokenize, id_col: str = "doc_id",
+                        checkpoint: str | None = None,
+                        max_files_per_trigger: int = 1,
+                        **index_kw):
+    """Production wiring: file-source doc stream → per-micro-batch
+    :meth:`LshIndex.update` probe-then-append → candidate pairs appended
+    to ``pairs_path`` (the same foreachBatch shape as
+    :func:`~graphiti_spark.streaming.ingest.run_stream`). ``tokenize``
+    maps the raw batch DataFrame to (id_col, toks: array<string> of
+    DISTINCT tokens) — pass the corpus's shingling. Returns the
+    StreamingQuery (caller awaits/stops); restart-safe because the
+    index IS the state (no engine-held dedup state to lose)."""
+    idx = LshIndex(index_path, **index_kw)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (idx.update(tokenize(batch_df), id_col=id_col)
+            .write.mode("append").parquet(pairs_path))
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(in_path))
+    return (src.writeStream
+            .foreachBatch(_batch)
+            # checkpoint OUTSIDE the index dir: a subdir inside it would
+            # make the first probe read a parquet-less directory
+            .option("checkpointLocation",
+                    checkpoint or index_path.rstrip("/") + "_checkpoints")
+            .trigger(availableNow=True)
+            .start())

@@ -80,3 +80,33 @@ def test_resumes_from_disk(spark, tmp_path):
                        [3][1]])]
     pairs = LshIndex(path).update(_mk(spark, dup_of_3)).collect()
     assert (3, 100) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+
+def test_run_near_dup_stream_matches_batch(spark, tmp_path):
+    """End-to-end wiring: parquet drops → foreachBatch probe/append →
+    pairs sink. The union of streamed pairs equals the batch operator
+    over the whole corpus (under-cap), exactly as the direct-update
+    test, but through a real StreamingQuery with availableNow."""
+    from graphiti_spark.streaming.lsh_index import run_near_dup_stream
+
+    rng = random.Random(13)
+    rows = _docs(rng, range(0, 40))
+    in_dir = tmp_path / "in"
+    for i in range(4):                       # 4 drop files = 4 batches
+        _mk(spark, rows[i * 10:(i + 1) * 10]) \
+            .coalesce(1).write.mode("append") \
+            .parquet(str(in_dir / f"drop{i}.parquet"))
+
+    q = run_near_dup_stream(
+        spark, str(in_dir / "*"), str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        schema="doc_id bigint, toks array<string>",
+        tokenize=lambda df: df.select("doc_id", "toks"))
+    q.awaitTermination(120)
+
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    want = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_candidate_pairs(_mk(spark, rows),
+                                    max_bucket=100).collect()}
+    assert got == want and want
