@@ -271,3 +271,48 @@ class GraphitiSpark:
         return build_graph(self.spark, transcripts, run_ts=self.run_ts,
                            with_embeddings=self.with_embeddings,
                            ontology=self.ontology)
+
+    # -- persistence -------------------------------------------------------
+
+    _TABLES = ("transcripts", "episodes", "entities", "edges",
+               "episodic_edges", "communities", "community_edges")
+
+    def save(self, root: str) -> "GraphitiSpark":
+        """Persist every populated table under ``root``, partitioned by
+        the incremental unit (``conv_id``/``group_id``) so a later
+        micro-batch update rewrites only touched partition dirs — the
+        same layout the streaming writer uses (S4; the parquet stand-in
+        for the Iceberg tables of the brief)."""
+        for name in self._TABLES:
+            df = getattr(self, name)
+            if df is None:
+                continue
+            part = ("conv_id" if "conv_id" in df.columns else
+                    "group_id" if "group_id" in df.columns else None)
+            w = df.write.mode("overwrite")
+            if part:
+                w = w.partitionBy(part)
+            w.parquet(f"{root.rstrip('/')}/{name}")
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str,
+             run_ts: datetime = RUN_TS, ontology=None,
+             with_embeddings: bool = True) -> "GraphitiSpark":
+        """Re-open a saved graph: the handle resumes incremental updates
+        and searches from the on-disk tables (restart-safety lives in
+        the files, not driver state — the LshIndex/TableStore rule)."""
+        import os
+
+        g = cls(spark, run_ts=run_ts, ontology=ontology,
+                with_embeddings=with_embeddings)
+        for name in cls._TABLES:
+            p = f"{root.rstrip('/')}/{name}"
+            if os.path.isdir(p):
+                df = spark.read.parquet(p)
+                # partition-column inference may narrow string keys
+                for c in ("conv_id", "group_id"):
+                    if c in df.columns:
+                        df = df.withColumn(c, F.col(c).cast("string"))
+                setattr(g, name, df)
+        return g

@@ -100,3 +100,23 @@ def test_facade_end_to_end(spark):
         "group_id = 'conv2' AND name = 'FOUNDED'").count() == 1
     assert g.edges.where(
         "group_id = 'conv2' AND name = 'WORKS_AT'").count() == 0
+
+
+def test_facade_save_load_roundtrip(spark, tmp_path):
+    """save() then load() resumes the SAME graph: tables equal, and an
+    incremental add_episode on the re-opened handle matches one applied
+    to the original (restart-safety lives in the files)."""
+    g = GraphitiSpark(spark, run_ts=TS).add_episode_bulk(_tr(spark, ROWS))
+    g.save(str(tmp_path / "graph"))
+    h = GraphitiSpark.load(spark, str(tmp_path / "graph"), run_ts=TS)
+
+    def edge_set(x):
+        return sorted(map(tuple, x.edges.select(
+            "uuid", "group_id", "fact", "valid_at", "invalid_at")
+            .collect()))
+
+    assert edge_set(g) == edge_set(h)
+    g.add_episode("conv2", "Bob Jones lives in Oslo.")
+    h.add_episode("conv2", "Bob Jones lives in Oslo.")
+    assert edge_set(g) == edge_set(h)
+    assert any("Oslo" in f for (_, _, f, _, _) in edge_set(h))
