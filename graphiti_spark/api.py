@@ -75,8 +75,13 @@ class GraphitiSpark:
             self.episodes, self.entities = g.episodes, g.entities
             self.edges, self.episodic_edges = g.edges, g.episodic_edges
             return self
-        all_tr = (self.transcripts.unionByName(transcripts)
-                  .dropDuplicates(["conv_id", "turn_idx"])
+        # a re-supplied (conv_id, turn_idx) must deterministically take
+        # the NEW text — dropDuplicates keeps an arbitrary shuffle winner
+        kept = self.transcripts.join(
+            transcripts.select("conv_id", "turn_idx").distinct(),
+            ["conv_id", "turn_idx"], "left_anti")
+        all_tr = (kept.unionByName(
+                      transcripts.dropDuplicates(["conv_id", "turn_idx"]))
                   .localCheckpoint(eager=True))
         touched = transcripts.select("conv_id").distinct() \
             .localCheckpoint(eager=True)
@@ -129,15 +134,21 @@ class GraphitiSpark:
         from graphiti_spark.operators.incremental import stored_edges_to_raw
         from graphiti_spark.operators.maintenance import add_triplet
 
+        # same validation on BOTH branches (maintenance.add_triplet only
+        # guards the fresh-graph path): no empty names, no self-loops
+        subj_c, obj_c = rules.clean_text(subj), rules.clean_text(obj)
+        if not subj_c or not obj_c or \
+                rules.normalize_name(subj_c) == rules.normalize_name(obj_c):
+            raise ValueError(
+                "add_triplet needs two distinct non-empty entities")
         if self.edges is None:
             self.edges = add_triplet(self.spark, group_id, subj, pred,
                                      obj, fact, self.run_ts, valid_at)
-            self._upsert_entities(group_id, [subj, obj])
+            self._upsert_entities(group_id, [subj_c, obj_c])
             return self
         grp = self.edges.where(F.col("group_id") == group_id)
         rest = self.edges.where(
             F.coalesce(F.col("group_id") != group_id, F.lit(True)))
-        subj_c, obj_c = rules.clean_text(subj), rules.clean_text(obj)
         va = valid_at or self.run_ts
         # NULL episode provenance: a manual triplet is created by no
         # episode, so collect_list skips it and the merged edge carries
@@ -163,6 +174,13 @@ class GraphitiSpark:
         merged = versioning.apply_versioning(
             versioning.dedupe_edges(raw), self.run_ts,
             ontology=self.ontology)
+        # the versioning re-merge emits embedding-less rows; re-derive
+        # fact_embedding for the touched group or its cosine search
+        # layer would silently go dark after any manual insert
+        if self.edges is not None and "fact_embedding" in self.edges.columns:
+            from graphiti_spark.operators.extract import embed_udf
+            merged = merged.withColumn("fact_embedding",
+                                       embed_udf(F.col("fact")))
         self.edges = rest.unionByName(merged, allowMissingColumns=True)
         self._upsert_entities(group_id, [subj_c, obj_c])
         return self
@@ -175,6 +193,14 @@ class GraphitiSpark:
         new = self.spark.createDataFrame(
             rows, "uuid string, name string, group_id string,"
                   " created_at timestamp")
+        if (self.with_embeddings or
+                (self.entities is not None
+                 and "name_embedding" in self.entities.columns)):
+            # the reference embeds names on insert — without this the
+            # node cosine layer never scores a manually-added entity
+            from graphiti_spark.operators.extract import embed_udf
+            new = new.withColumn("name_embedding",
+                                 embed_udf(F.col("name")))
         if self.entities is None:
             self.entities = new
             return
@@ -287,6 +313,12 @@ class GraphitiSpark:
             df = getattr(self, name)
             if df is None:
                 continue
+            # cut lineage BEFORE overwrite: a load()ed table's plan still
+            # reads the very directory this write replaces — Spark
+            # rejects overwrite-while-reading, and a partial failure
+            # would leave the on-disk graph half-replaced
+            df = df.localCheckpoint(eager=True)
+            setattr(self, name, df)
             part = ("conv_id" if "conv_id" in df.columns else
                     "group_id" if "group_id" in df.columns else None)
             w = df.write.mode("overwrite")
@@ -304,15 +336,25 @@ class GraphitiSpark:
         the files, not driver state — the LshIndex/TableStore rule)."""
         import os
 
+        if "://" in root:
+            raise NotImplementedError(
+                "load() probes the local filesystem; for a remote or "
+                "cataloged store use sources.tables.TableStore")
         g = cls(spark, run_ts=run_ts, ontology=ontology,
                 with_embeddings=with_embeddings)
+        found = False
         for name in cls._TABLES:
             p = f"{root.rstrip('/')}/{name}"
             if os.path.isdir(p):
+                found = True
                 df = spark.read.parquet(p)
                 # partition-column inference may narrow string keys
                 for c in ("conv_id", "group_id"):
                     if c in df.columns:
                         df = df.withColumn(c, F.col(c).cast("string"))
                 setattr(g, name, df)
+        if not found:
+            # a typo'd root must not silently hand back an empty graph
+            # that a later save() would happily write somewhere new
+            raise FileNotFoundError(f"no saved graph tables under {root}")
         return g

@@ -131,7 +131,12 @@ def stored_edges_to_raw(edges: DataFrame) -> DataFrame:
         F.col("name").alias("pred"),
         "subj", "obj", "fact", "uuid", "attributes",
         "valid_at", "invalid_at", "created_at", "turn_idx",
-        F.explode("episodes").alias("episode_uuid"))
+        # explode_OUTER: a manual triplet (api.add_triplet) has an EMPTY
+        # episodes array — plain explode would silently drop it from the
+        # re-slice and the re-merge would delete the edge; the outer row
+        # carries a NULL episode_uuid, which collect_list skips on the
+        # way back, preserving the empty provenance exactly
+        F.explode_outer("episodes").alias("episode_uuid"))
 
 
 # -- the entity-granular micro-batch update ----------------------------------

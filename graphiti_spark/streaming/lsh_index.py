@@ -32,12 +32,18 @@ Scale shape, sized for a 100 TB/day feed:
 Cap semantics (mega-bucket skew control) differ from the batch operator
 by construction, and honestly so: batch ``minhash_candidate_pairs``
 drops a bucket > ``max_bucket`` RETROACTIVELY (it sees the final
-count); the incremental probe stops emitting once a bucket's STORED
-population reaches the cap, but pairs emitted while it was small stand
-(a stream cannot retract history — the same reasoning as
-``stream_dedup``'s watermark re-emission). Equality with the batch
-operator therefore holds exactly on buckets that never exceed the cap,
-which is every non-degenerate bucket by design.
+count); the incremental probe emits NO pairs through a bucket whose
+TOTAL population (stored + this batch) exceeds the cap at that batch —
+the same decision a batch rebuild over the corpus-so-far would make —
+but pairs emitted while the bucket was small stand (a stream cannot
+retract history — the same reasoning as ``stream_dedup``'s watermark
+re-emission). The total-population rule also bounds the in-batch
+self-join: one degenerate micro-batch cannot emit O(batch²) pairs
+through a mega-bucket. Equality with the batch operator holds exactly
+on buckets that never exceed the cap, which is every non-degenerate
+bucket by design. Replay-safe: a re-run batch (at-least-once
+foreachBatch) finds its keys already stored, appends nothing, and
+emits the same pairs the first attempt would have.
 """
 
 from __future__ import annotations
@@ -80,9 +86,13 @@ class LshIndex:
     def _stored(self, spark: SparkSession) -> DataFrame:
         # the dir may exist but hold no parquet yet (e.g. a foreign
         # _checkpoints subdir landed first) — treat that as empty too
+        from pyspark.errors import AnalysisException
         try:
             df = spark.read.schema(_SCHEMA).parquet(self.path)
-        except Exception:
+        except AnalysisException:
+            # missing path = empty index; any OTHER failure (corrupt
+            # footer, IO fault) must propagate — an empty-index fallback
+            # there would silently skip the probe while still appending
             return spark.createDataFrame([], _SCHEMA)
         # partition-column inference pins shard back to int
         return df.select("doc_id", "bk", F.col("shard").cast("int")
@@ -111,21 +121,42 @@ class LshIndex:
         stored = self._stored(spark)
         if shards:
             stored = stored.where(F.col("shard").isin(shards))
+        # at-least-once replay safety: a retried batch (pairs write
+        # failed after the index append landed) finds its own keys
+        # already stored — drop them from BOTH the append and the
+        # stored probe side, so counts never double and the re-run
+        # emits the same pairs as the first attempt would have
+        stored = stored.localCheckpoint(eager=True)
+        replayed = stored.join(F.broadcast(keys), ["doc_id", "bk"],
+                               "left_semi")
+        stored = stored.join(F.broadcast(keys), ["doc_id", "bk"],
+                             "left_anti")
+        keys_new = keys  # every key is appended unless already stored
+        if replayed.limit(1).count():
+            keys_new = keys.join(replayed, ["doc_id", "bk"], "left_anti")
 
-        # stored-population cap per bucket: a bucket already at the cap
-        # is degenerate — stop emitting pairs through it (see module
-        # docstring for why this cannot be retroactive like the batch op)
-        bn = stored.groupBy("bk").agg(F.count("*").alias("_bn"))
-        live = (stored.join(bn.where(F.col("_bn") <= self.max_bucket)
-                            .select("bk"), "bk"))
+        # TOTAL-population cap per bucket (stored + this batch): a
+        # bucket over the cap is degenerate — emit NO pairs through it,
+        # matching what a batch rebuild over the corpus-so-far would
+        # drop; earlier batches' pairs stand (a stream cannot retract
+        # history — see module docstring)
+        batch_bn = keys.groupBy("bk").agg(F.count("*").alias("_bbn"))
+        bn = (stored.groupBy("bk").agg(F.count("*").alias("_sbn"))
+              .join(batch_bn, "bk", "full")
+              .select("bk", (F.coalesce("_sbn", F.lit(0))
+                             + F.coalesce("_bbn", F.lit(0))).alias("_bn")))
+        live_bk = bn.where(F.col("_bn") <= self.max_bucket).select("bk") \
+            .localCheckpoint(eager=True)
 
-        new_old = (live.join(F.broadcast(keys.select(
+        new_old = (stored.join(F.broadcast(live_bk), "bk")
+                   .join(F.broadcast(keys.select(
                        F.col("doc_id").alias("doc_new"), "bk")), "bk")
                    .select(F.least("doc_id", "doc_new").alias("doc_a"),
                            F.greatest("doc_id", "doc_new").alias("doc_b"))
                    .where(F.col("doc_a") != F.col("doc_b")))
-        a = keys.select(F.col("doc_id").alias("doc_a"), "bk")
-        b = keys.select(F.col("doc_id").alias("doc_b"), "bk")
+        capped = keys.join(F.broadcast(live_bk), "bk")
+        a = capped.select(F.col("doc_id").alias("doc_a"), "bk")
+        b = capped.select(F.col("doc_id").alias("doc_b"), "bk")
         new_new = (a.join(b, "bk")
                    .where(F.col("doc_a") < F.col("doc_b"))
                    .select("doc_a", "doc_b"))
@@ -133,11 +164,10 @@ class LshIndex:
             .localCheckpoint(eager=True)
 
         # append AFTER the probe is materialized: the probe scan reads
-        # the very dirs the append grows, and checkpointing `pairs`
-        # first means a mid-append crash re-runs the whole batch cleanly
-        # (idempotent: same keys land in the same shard files' rows;
-        # the downstream pair consumer dedups on (doc_a, doc_b))
-        (keys.repartition("shard")
+        # the very dirs the append grows; pairs is checkpointed first so
+        # a mid-append crash re-runs the batch cleanly, and the replay
+        # anti-join above makes the re-run's append a no-op
+        (keys_new.repartition("shard")
              .write.partitionBy("shard").mode("append")
              .parquet(self.path))
         return pairs

@@ -120,3 +120,55 @@ def test_facade_save_load_roundtrip(spark, tmp_path):
     h.add_episode("conv2", "Bob Jones lives in Oslo.")
     assert edge_set(g) == edge_set(h)
     assert any("Oslo" in f for (_, _, f, _, _) in edge_set(h))
+
+
+def test_add_triplet_hardening(spark):
+    """code-review r5 continuation: two manual triplets in one group must
+    both survive (explode_outer in the raw re-slice), the touched
+    group's fact_embedding must be re-derived, the upserted entities
+    carry name_embedding, and validation applies on a populated graph."""
+    import pytest as _pytest
+
+    g = GraphitiSpark(spark, run_ts=TS).add_episode_bulk(_tr(spark, ROWS))
+    assert "fact_embedding" in g.edges.columns
+    g.add_triplet("conv2", "Bob Jones", "FOUNDED", "Initech",
+                  "Bob Jones founded Initech.")
+    g.add_triplet("conv2", "Carol Moss", "OWNS", "Globex",
+                  "Carol Moss owns Globex.")
+    names = {r["name"] for r in
+             g.edges.where("group_id = 'conv2'").collect()}
+    assert {"FOUNDED", "OWNS"} <= names          # first manual edge kept
+    assert g.edges.where(
+        "group_id = 'conv2' AND fact_embedding IS NULL").count() == 0
+    assert g.entities.where(
+        "name = 'Globex' AND name_embedding IS NULL").count() == 0
+    with _pytest.raises(ValueError):
+        g.add_triplet("conv2", "Bob Jones", "LIKES", "bob jones", "x")
+
+
+def test_resupplied_turn_takes_new_text(spark):
+    g = GraphitiSpark(spark, run_ts=TS).add_episode_bulk(_tr(spark, ROWS))
+    g.add_episode_bulk(_tr(spark, [
+        ("conv1", 1, "Alice Smith lives in Madrid.")]))
+    texts = [r["text"] for r in g.transcripts
+             .where("conv_id = 'conv1' AND turn_idx = 1").collect()]
+    assert texts == ["Alice Smith lives in Madrid."]
+    facts = [r["fact"] for r in
+             g.edges.where("group_id = 'conv1'").collect()]
+    assert any("Madrid" in f for f in facts)
+    assert not any("Paris" in f for f in facts)
+
+
+def test_save_in_place_after_load(spark, tmp_path):
+    import pytest as _pytest
+
+    root = str(tmp_path / "graph")
+    GraphitiSpark(spark, run_ts=TS).add_episode_bulk(
+        _tr(spark, ROWS)).save(root)
+    h = GraphitiSpark.load(spark, root, run_ts=TS)
+    h.add_episode("conv1", "Alice Smith moved to Berlin.")
+    h.save(root)                      # overwrite the dirs we read from
+    again = GraphitiSpark.load(spark, root, run_ts=TS)
+    assert any("Berlin" in r["fact"] for r in again.edges.collect())
+    with _pytest.raises(FileNotFoundError):
+        GraphitiSpark.load(spark, str(tmp_path / "nope"), run_ts=TS)

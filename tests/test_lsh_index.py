@@ -56,18 +56,33 @@ def test_incremental_equals_batch_rebuild(spark, tmp_path):
 
 
 def test_capped_bucket_stops_emitting(spark, tmp_path):
-    # every doc identical => ONE bucket per band; cap 4 means: batch 1
-    # (3 docs) emits 3 pairs, batch 2 sees a stored population of 3 <= 4
-    # so probes still, batch 3 sees 6 > 4 stored and emits nothing new
-    # against the store (new-vs-new inside the batch still pairs).
+    # every doc identical => ONE bucket per band; cap 4 with the
+    # TOTAL-population rule (stored + batch): batch 1 (3 docs, total 3)
+    # emits C(3,2); batch 2 (total 6 > 4) emits NOTHING — including the
+    # in-batch self-join, which is the O(batch²) guard; batch 3 same.
     same = ["a", "b", "c", "d", "e"]
     idx = LshIndex(str(tmp_path / "lsh"), max_bucket=4)
     p1 = idx.update(_mk(spark, [(i, same) for i in (0, 1, 2)])).count()
     p2 = idx.update(_mk(spark, [(i, same) for i in (3, 4, 5)])).count()
     p3 = idx.update(_mk(spark, [(i, same) for i in (6, 7)])).count()
-    assert p1 == 3          # C(3,2) within batch
-    assert p2 == 3 + 9      # within-batch 3 + 3x3 vs stored
-    assert p3 == 1          # stored bucket over cap: only the in-batch pair
+    assert p1 == 3          # C(3,2) within batch, total under cap
+    assert p2 == 0          # total 6 > 4: bucket dark, no O(B^2) term
+    assert p3 == 0
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    # at-least-once foreachBatch: re-running the SAME batch (keys
+    # already stored) must append nothing and emit the same pairs
+    rng = random.Random(5)
+    rows = _docs(rng, range(0, 15))
+    idx = LshIndex(str(tmp_path / "lsh"))
+    first = {(r["doc_a"], r["doc_b"]) for r in
+             idx.update(_mk(spark, rows)).collect()}
+    n_rows = spark.read.parquet(str(tmp_path / "lsh")).count()
+    replay = {(r["doc_a"], r["doc_b"]) for r in
+              idx.update(_mk(spark, rows)).collect()}
+    assert replay == first
+    assert spark.read.parquet(str(tmp_path / "lsh")).count() == n_rows
 
 
 def test_resumes_from_disk(spark, tmp_path):
